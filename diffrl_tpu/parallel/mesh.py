@@ -1,0 +1,56 @@
+"""Device-mesh helpers: shard the env axis over chips.
+
+TPU-native replacement for the reference's Horovod wrapper
+(/root/reference/externals/rl_games/rl_games/distributed/hvd_wrapper.py):
+instead of process-per-GPU allreduce, environments shard over a ``data`` mesh
+axis and the jitted training step's reductions (loss means, gradient sums,
+RMS moments) become XLA collectives over ICI automatically. For multi-host
+pods call :func:`init_distributed` first.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Initialize multi-host JAX (DCN) when running on a pod slice."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_data_mesh(num_devices: Optional[int] = None) -> Mesh:
+    """1-D mesh over all (or the first N) devices with a ``data`` axis."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def shard_env_axis(mesh: Mesh, pytree):
+    """Place every [E, ...] leaf of an env-state pytree with E sharded over
+    the ``data`` axis; scalars/keys replicated."""
+    def place(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % mesh.size == 0:
+            spec = P("data", *([None] * (x.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, pytree)
+
+
+def replicate(mesh: Mesh, pytree):
+    """Replicate a pytree (parameters, optimizer state) across the mesh."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), pytree
+    )

@@ -1,0 +1,515 @@
+"""Articulated rigid-body dynamics: one differentiable step, TPU-first.
+
+Re-designs the reference pipeline (/root/reference/dflex/dflex/sim.py:2225-2613:
+eval_rigid_fk -> eval_rigid_id -> eval_rigid_contacts_art -> eval_muscles ->
+eval_rigid_tau -> J/M/H -> regularized Cholesky -> solve -> integrate) as pure
+functions over a SINGLE articulation with STATIC topology:
+
+- per-link loops are unrolled at trace time (topology is static), replacing
+  the reference's serial per-articulation device loops (sim.py:1694-1711);
+- environments come in via ``jax.vmap`` — every op below becomes a batched
+  [E, ...] op, turning the Jacobian/mass products into MXU-shaped batched
+  matmuls instead of one CUDA thread per robot;
+- the tape is gone: ``jax.grad`` differentiates the whole step; the only
+  deliberate deviations from true gradients reproduce the reference's adjoint
+  conventions (frozen-Cholesky solve via ``solve_frozen_chol``, zero-grad
+  ``step``, branch-picking ``min``/``clamp`` — which jnp already matches).
+
+Gradient-sensitive guards (safe_normalize etc.) mirror the reference's
+kEps-guarded primitives so long rollouts don't NaN (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ops import (
+    chol_regularized,
+    quat_from_axis_angle,
+    quat_identity,
+    quat_mul,
+    quat_normalize,
+    safe_normalize,
+    solve_frozen_chol,
+    spatial_cross,
+    spatial_cross_dual,
+    spatial_transform_inertia,
+    spatial_transform_twist,
+    spatial_transform_wrench,
+    transform_identity,
+    transform_multiply,
+    transform_point,
+)
+from .model import (
+    JOINT_BALL,
+    JOINT_FIXED,
+    JOINT_FREE,
+    JOINT_PRISMATIC,
+    JOINT_REVOLUTE,
+    Model,
+    State,
+)
+
+_E6 = np.eye(6, dtype=np.float32)
+
+
+def _jcalc_transform(jtype: int, axis, joint_q, qs: int):
+    """Joint transform X_jc for a static joint type (sim.py:1269-1319)."""
+    if jtype == JOINT_PRISMATIC:
+        q = joint_q[qs]
+        return jnp.concatenate([axis * q, quat_identity()])
+    if jtype == JOINT_REVOLUTE:
+        q = joint_q[qs]
+        return jnp.concatenate([jnp.zeros(3), quat_from_axis_angle(axis, q)])
+    if jtype == JOINT_BALL:
+        return jnp.concatenate([jnp.zeros(3), joint_q[qs : qs + 4]])
+    if jtype == JOINT_FIXED:
+        return transform_identity()
+    if jtype == JOINT_FREE:
+        return joint_q[qs : qs + 7]
+    raise ValueError(jtype)
+
+
+def eval_fk(model: Model, joint_q):
+    """Forward kinematics: body transforms X_sc, X_sm (sim.py:1638-1711).
+
+    Unrolled over links in topological order; returns ([L,7], [L,7]).
+    """
+    topo = model.topology
+    X_sc, X_sm = [], []
+    for i in range(topo.link_count):
+        jtype = topo.joint_type[i]
+        parent = topo.joint_parent[i]
+        qs = topo.joint_q_start[i]
+        X_jc = _jcalc_transform(jtype, model.joint_axis[i], joint_q, qs)
+        X_local = transform_multiply(model.joint_X_pj[i], X_jc)
+        X_sp = X_sc[parent] if parent >= 0 else transform_identity()
+        x_sc = transform_multiply(X_sp, X_local)
+        X_sc.append(x_sc)
+        X_sm.append(transform_multiply(x_sc, model.joint_X_cm[i]))
+    return jnp.stack(X_sc), jnp.stack(X_sm)
+
+
+def _motion_subspace(jtype: int, axis, X_sj):
+    """Joint motion subspace columns in space coords (sim.py:1323-1387).
+
+    Returns a list of [6] spatial vectors, one per dof.
+    """
+    zeros = jnp.zeros(3)
+    if jtype == JOINT_PRISMATIC:
+        return [spatial_transform_twist(X_sj, jnp.concatenate([zeros, axis]))]
+    if jtype == JOINT_REVOLUTE:
+        return [spatial_transform_twist(X_sj, jnp.concatenate([axis, zeros]))]
+    if jtype == JOINT_BALL:
+        return [
+            spatial_transform_twist(X_sj, jnp.asarray(_E6[k])) for k in range(3)
+        ]
+    if jtype == JOINT_FIXED:
+        return []
+    if jtype == JOINT_FREE:
+        # world-aligned basis (sim.py:1377-1382)
+        return [jnp.asarray(_E6[k]) for k in range(6)]
+    raise ValueError(jtype)
+
+
+def eval_id(model: Model, joint_q, joint_qd, body_X_sc, body_X_sm):
+    """Velocity/bias-force sweep (compute_link_velocity, sim.py:1716-1789).
+
+    Returns (S_s [D,6], I_s [L,6,6], v_s [L,6], body_f [L,6]).
+    body_f is the reference's body_f_s = I a + v x* I v - gravity wrench.
+    """
+    topo = model.topology
+    g = model.gravity
+
+    S_rows = [None] * topo.dof_count
+    I_s_list, v_list, a_list, f_list = [], [], [], []
+
+    for i in range(topo.link_count):
+        jtype = topo.joint_type[i]
+        parent = topo.joint_parent[i]
+        ds = topo.joint_qd_start[i]
+
+        X_sp = body_X_sc[parent] if parent >= 0 else transform_identity()
+        X_sj = transform_multiply(X_sp, model.joint_X_pj[i])
+
+        S = _motion_subspace(jtype, model.joint_axis[i], X_sj)
+        v_j = jnp.zeros(6)
+        for k, s in enumerate(S):
+            S_rows[ds + k] = s
+            v_j = v_j + s * joint_qd[ds + k]
+
+        v_parent = v_list[parent] if parent >= 0 else jnp.zeros(6)
+        a_parent = a_list[parent] if parent >= 0 else jnp.zeros(6)
+
+        v_s = v_parent + v_j
+        a_s = a_parent + spatial_cross(v_s, v_j)
+
+        I_m = model.body_I_m[i]
+        m = I_m[3, 3]
+
+        # gravity wrench about the space origin (sim.py:1770-1775)
+        p_com = body_X_sm[i][0:3]
+        f_g_m = jnp.concatenate([jnp.zeros(3), g]) * m
+        X_com = jnp.concatenate([p_com, quat_identity()])
+        f_g_s = spatial_transform_wrench(X_com, f_g_m)
+
+        I_s = spatial_transform_inertia(body_X_sm[i], I_m)
+        f_b = I_s @ a_s + spatial_cross_dual(v_s, I_s @ v_s)
+
+        I_s_list.append(I_s)
+        v_list.append(v_s)
+        a_list.append(a_s)
+        f_list.append(f_b - f_g_s)
+
+    S_s = (
+        jnp.stack(S_rows) if topo.dof_count else jnp.zeros((0, 6))
+    )
+    return S_s, jnp.stack(I_s_list), jnp.stack(v_list), jnp.stack(f_list)
+
+
+def eval_ground_contacts(model: Model, body_X_sc, body_v_s):
+    """Articulated-body ground contacts (eval_rigid_contacts_art,
+    sim.py:1137-1206): penalty normal + damping + smooth Coulomb friction.
+
+    Returns per-link wrench accumulation [L, 6].
+    """
+    topo = model.topology
+    K = topo.contact_count
+    L = topo.link_count
+    if K == 0 or not model.ground:
+        return jnp.zeros((L, 6))
+
+    c_body = np.asarray(topo.contact_body, dtype=np.int32)
+    X_s = body_X_sc[c_body]          # [K, 7]
+    v_s = body_v_s[c_body]           # [K, 6]
+
+    n = jnp.array([0.0, 1.0, 0.0])
+    ke, kd, kf, mu = (model.contact_mat[:, i] for i in range(4))
+
+    p = transform_point(X_s, model.contact_point) - n * model.contact_dist[:, None]
+    w = v_s[:, 0:3]
+    v = v_s[:, 3:6]
+    dpdt = v + jnp.cross(w, p)
+
+    c = p[:, 1]                      # penetration depth (negative inside)
+    inside = c < 0.0
+
+    vn = jnp.sum(n * dpdt, axis=-1)
+    vt = dpdt - n * vn[:, None]
+
+    fn = c * ke
+    # damping active only while penetrating: step(c) = 1 for c < 0
+    fd = jnp.minimum(vn, 0.0) * kd * (-c)
+
+    # smooth Coulomb friction ft = normalize(vt) * min(kf |vt|, -mu c ke)
+    vt_len2 = jnp.sum(vt * vt, axis=-1)
+    safe = vt_len2 > 1e-12
+    vt_len = jnp.sqrt(jnp.where(safe, vt_len2, 1.0))
+    dir = jnp.where(safe[:, None], vt / vt_len[:, None], 0.0)
+    mag = jnp.minimum(kf * jnp.where(safe, vt_len, 0.0), -mu * c * ke)
+    ft = dir * mag[:, None]
+
+    f_total = n * (fn + fd)[:, None] + ft
+    # early-return for c >= 0 clips primal and adjoint (sim.py:1179-1180)
+    f_total = jnp.where(inside[:, None], f_total, 0.0)
+    t_total = jnp.cross(p, f_total)
+
+    wrench = jnp.concatenate([t_total, f_total], axis=-1)  # [K, 6]
+    return jax.ops.segment_sum(wrench, c_body, num_segments=L)
+
+
+def eval_muscles(model: Model, body_X_sc, muscle_activation):
+    """MTU muscle wrenches (eval_muscles, sim.py:1209-1265).
+
+    muscle_activation: [M] per-muscle force magnitude (the reference stores
+    activation * muscle_strength into model.muscle_activation; here it is an
+    explicit control input).
+    """
+    topo = model.topology
+    L = topo.link_count
+    M = topo.muscle_count
+    if M == 0:
+        return jnp.zeros((L, 6))
+
+    # static segment list: waypoint pairs (i, i+1) within each muscle,
+    # excluding the last waypoint (sim.py:1259-1264) and degenerate segments
+    seg_i, seg_m = [], []
+    ms = topo.muscle_start
+    links = topo.muscle_links
+    for m in range(M):
+        for i in range(ms[m], ms[m + 1] - 1):
+            if links[i] == links[i + 1]:
+                continue  # static skip (sim.py:1222-1223)
+            seg_i.append(i)
+            seg_m.append(m)
+    if not seg_i:
+        return jnp.zeros((L, 6))
+
+    seg_i = np.asarray(seg_i, dtype=np.int32)
+    seg_m = np.asarray(seg_m, dtype=np.int32)
+    link0 = np.asarray([links[i] for i in seg_i], dtype=np.int32)
+    link1 = np.asarray([links[i + 1] for i in seg_i], dtype=np.int32)
+
+    X0 = body_X_sc[link0]
+    X1 = body_X_sc[link1]
+    r0 = model.muscle_points[seg_i]
+    r1 = model.muscle_points[seg_i + 1]
+
+    pos0 = transform_point(X0, r0)
+    pos1 = transform_point(X1, r1)
+    n = safe_normalize(pos1 - pos0)
+    f = n * muscle_activation[seg_m][:, None]
+
+    w0 = jnp.concatenate([jnp.cross(pos0, f), f], axis=-1)
+    w1 = jnp.concatenate([jnp.cross(pos1, f), f], axis=-1)
+
+    out = jax.ops.segment_sum(-w0, link0, num_segments=L)
+    out = out + jax.ops.segment_sum(w1, link1, num_segments=L)
+    return out
+
+
+def eval_tau(model: Model, joint_q, joint_qd, joint_act, S_s, body_f):
+    """Leaf-to-root force accumulation + joint-space torques
+    (eval_rigid_tau / compute_link_tau / jcalc_tau, sim.py:1421-1502,
+    1792-1842). Returns tau [D]."""
+    topo = model.topology
+    L = topo.link_count
+
+    ft = [jnp.zeros(6)] * L
+    tau = [jnp.zeros(()) for _ in range(topo.dof_count)]
+
+    for i in reversed(range(L)):
+        jtype = topo.joint_type[i]
+        parent = topo.joint_parent[i]
+        cs = topo.joint_q_start[i]
+        ds = topo.joint_qd_start[i]
+
+        f_s = body_f[i] + ft[i]
+
+        t_ke = model.joint_target_ke[i]
+        t_kd = model.joint_target_kd[i]
+        l_ke = model.joint_limit_ke[i]
+        l_kd = model.joint_limit_kd[i]
+
+        if jtype in (JOINT_PRISMATIC, JOINT_REVOLUTE):
+            q = joint_q[cs]
+            qd = joint_qd[ds]
+            act = joint_act[ds]
+            target = model.joint_target[cs]
+            lower = model.joint_limit_lower[cs]
+            upper = model.joint_limit_upper[cs]
+
+            limit_f = jnp.where(
+                q < lower,
+                l_ke * (lower - q),
+                jnp.where(q > upper, l_ke * (upper - q), 0.0),
+            )
+            damping_f = -l_kd * qd
+            tau[ds] = (
+                -jnp.sum(S_s[ds] * f_s)
+                - t_ke * (q - target)
+                - t_kd * qd
+                + act
+                + limit_f
+                + damping_f
+            )
+        elif jtype == JOINT_BALL:
+            # elastic term on quat imaginary part, damping on ang vel
+            for k in range(3):
+                tau[ds + k] = (
+                    -jnp.sum(S_s[ds + k] * f_s)
+                    - joint_qd[ds + k] * t_kd
+                    - joint_q[cs + k] * t_ke
+                )
+        elif jtype == JOINT_FREE:
+            for k in range(6):
+                tau[ds + k] = -jnp.sum(S_s[ds + k] * f_s)
+        # fixed: no dofs
+
+        if parent >= 0:
+            ft[parent] = ft[parent] + f_s
+
+    return jnp.stack(tau) if tau else jnp.zeros((0,))
+
+
+def eval_mass_matrix(model: Model, S_s, I_s):
+    """Composite-rigid-body mass matrix H = J^T blockdiag(I_s) J.
+
+    The reference materializes J (spatial_jacobian, spatial.h:691-738), the
+    block-diagonal M (spatial_mass, spatial.h:801-840) and two batched GEMMs
+    (sim.py:2513-2545). Here the Jacobian structure is a static ancestor mask
+    and the whole thing is three einsums that XLA maps onto the MXU.
+    """
+    mask = jnp.asarray(model.topology.ancestor_dof_mask())  # [L, D] static
+    # J[l, :, d] = S_s[d] * mask[l, d]
+    J = jnp.einsum("df,ld->lfd", S_s, mask)
+    P = jnp.einsum("lfg,lgd->lfd", I_s, J)
+    H = jnp.einsum("lfd,lfe->de", J, P)
+    return H
+
+
+def _integrate_joint(model: Model, joint_q, joint_qd, qdd, dt):
+    """Semi-implicit joint integration (jcalc_integrate, sim.py:1505-1636)."""
+    topo = model.topology
+    q_new = [None] * topo.coord_count
+    qd_new = [None] * topo.dof_count
+
+    for i in range(topo.link_count):
+        jtype = topo.joint_type[i]
+        cs = topo.joint_q_start[i]
+        ds = topo.joint_qd_start[i]
+
+        if jtype in (JOINT_PRISMATIC, JOINT_REVOLUTE):
+            qd_n = joint_qd[ds] + qdd[ds] * dt
+            q_new[cs] = joint_q[cs] + qd_n * dt
+            qd_new[ds] = qd_n
+        elif jtype == JOINT_BALL:
+            m_j = qdd[ds : ds + 3]
+            w_j = joint_qd[ds : ds + 3]
+            r_j = joint_q[cs : cs + 4]
+            w_n = w_j + m_j * dt
+            drdt = quat_mul(jnp.concatenate([w_n, jnp.zeros(1)]), r_j) * 0.5
+            r_n = quat_normalize(r_j + drdt * dt)
+            for k in range(4):
+                q_new[cs + k] = r_n[k]
+            for k in range(3):
+                qd_new[ds + k] = w_n[k]
+        elif jtype == JOINT_FREE:
+            m_s = qdd[ds : ds + 3]
+            a_s = qdd[ds + 3 : ds + 6]
+            w_s = joint_qd[ds : ds + 3] + m_s * dt
+            v_s = joint_qd[ds + 3 : ds + 6] + a_s * dt
+
+            p_s = joint_q[cs : cs + 3]
+            dpdt = v_s + jnp.cross(w_s, p_s)
+            r_s = joint_q[cs + 3 : cs + 7]
+            drdt = quat_mul(jnp.concatenate([w_s, jnp.zeros(1)]), r_s) * 0.5
+
+            p_n = p_s + dpdt * dt
+            r_n = quat_normalize(r_s + drdt * dt)
+            for k in range(3):
+                q_new[cs + k] = p_n[k]
+            for k in range(4):
+                q_new[cs + 3 + k] = r_n[k]
+            for k in range(3):
+                qd_new[ds + k] = w_s[k]
+                qd_new[ds + 3 + k] = v_s[k]
+        # fixed: nothing
+
+    q_out = jnp.stack(q_new) if q_new else jnp.zeros((0,))
+    qd_out = jnp.stack(qd_new) if qd_new else jnp.zeros((0,))
+    return q_out, qd_out
+
+
+class DynamicsAux(NamedTuple):
+    """Derived quantities exposed for observation/rendering/testing."""
+
+    body_X_sc: jnp.ndarray
+    body_X_sm: jnp.ndarray
+    body_v_s: jnp.ndarray
+    joint_tau: jnp.ndarray
+    joint_qdd: jnp.ndarray
+
+
+def articulation_substep(
+    model: Model,
+    joint_q,
+    joint_qd,
+    joint_act,
+    muscle_act,
+    dt,
+    mass_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    return_aux: bool = False,
+):
+    """One dynamics substep of a single articulation.
+
+    mass_cache: (H, L) to reuse a previously-factorized mass matrix
+    (MM_caching_frequency semantics, sim.py:2107-2113); None recomputes.
+    Returns (joint_q', joint_qd', (H, L)[, aux]).
+    """
+    body_X_sc, body_X_sm = eval_fk(model, joint_q)
+    S_s, I_s, body_v_s, body_f = eval_id(model, joint_q, joint_qd, body_X_sc, body_X_sm)
+
+    body_f = body_f + eval_ground_contacts(model, body_X_sc, body_v_s)
+    if muscle_act is not None:
+        body_f = body_f + eval_muscles(model, body_X_sc, muscle_act)
+
+    tau = eval_tau(model, joint_q, joint_qd, joint_act, S_s, body_f)
+
+    if mass_cache is None:
+        H = eval_mass_matrix(model, S_s, I_s)
+        Lc = chol_regularized(H, model.joint_armature)
+    else:
+        H, Lc = mass_cache
+
+    qdd = solve_frozen_chol(H, Lc, tau)
+    q_new, qd_new = _integrate_joint(model, joint_q, joint_qd, qdd, dt)
+
+    if return_aux:
+        aux = DynamicsAux(body_X_sc, body_X_sm, body_v_s, tau, qdd)
+        return q_new, qd_new, (H, Lc), aux
+    return q_new, qd_new, (H, Lc)
+
+
+def simulate(
+    model: Model,
+    state: State,
+    joint_act=None,
+    muscle_act=None,
+    dt: float = 1.0 / 60.0,
+    substeps: int = 16,
+    mass_matrix_freq: int = 1,
+    remat: bool = True,
+) -> State:
+    """Advance one env step = `substeps` substeps of size dt/substeps.
+
+    Equivalent of SemiImplicitIntegrator.forward for articulations
+    (sim.py:2182-2221) — but it is just a differentiable function: no tape,
+    no autograd.Function. The mass matrix is refactorized every
+    `mass_matrix_freq` substeps and reused (frozen) in between; gradients
+    w.r.t. the cached factor follow the reference's frozen-L convention.
+
+    Structured as scan-of-blocks so the compiled graph contains ONE block
+    body regardless of substep count. With ``remat`` the backward pass
+    recomputes each block instead of storing every substep's intermediates —
+    the jax.checkpoint replacement for the reference tape's store-everything
+    memory profile (SURVEY.md §5 long-context notes).
+    """
+    if substeps % mass_matrix_freq != 0:
+        raise ValueError("substeps must be a multiple of mass_matrix_freq")
+    nblocks = substeps // mass_matrix_freq
+    h = dt / float(substeps)
+
+    if joint_act is None:
+        joint_act = jnp.zeros((model.dof_count,), dtype=jnp.float32)
+
+    def block(carry, _):
+        q, qd = carry
+        # first substep of the block refactorizes H
+        q, qd, HL = articulation_substep(model, q, qd, joint_act, muscle_act, h)
+
+        def inner(c, _):
+            qi, qdi = c
+            qi, qdi, _ = articulation_substep(
+                model, qi, qdi, joint_act, muscle_act, h, mass_cache=HL
+            )
+            return (qi, qdi), None
+
+        if mass_matrix_freq > 1:
+            (q, qd), _ = lax.scan(inner, (q, qd), None, length=mass_matrix_freq - 1)
+        return (q, qd), None
+
+    if remat:
+        block = jax.checkpoint(block)
+
+    if nblocks > 1:
+        (q, qd), _ = lax.scan(block, (state.joint_q, state.joint_qd), None, length=nblocks)
+    else:
+        (q, qd), _ = block((state.joint_q, state.joint_qd), None)
+
+    return State(joint_q=q, joint_qd=qd, particle_q=state.particle_q, particle_qd=state.particle_qd)

@@ -1,0 +1,156 @@
+"""URDF importer.
+
+Self-contained xml.etree parser (the reference delegates to the urdfpy
+package, /root/reference/utils/load_utils.py:129-229; this covers the same
+feature set without the dependency): links + revolute/continuous/prismatic/
+fixed/floating joints with origins/limits/damping, box/sphere/cylinder
+collision shapes (cylinders become x-aligned capsules).
+"""
+
+from __future__ import annotations
+
+import math
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from ..model import (
+    JOINT_FIXED,
+    JOINT_FREE,
+    JOINT_PRISMATIC,
+    JOINT_REVOLUTE,
+    ModelBuilder,
+    np_quat_from_axis_angle,
+    np_quat_mul,
+    np_rpy2quat,
+    np_transform,
+    np_transform_identity,
+)
+
+
+def _origin(node):
+    """(xyz, rpy-quat) of an <origin> child, identity when absent."""
+    o = node.find("origin") if node is not None else None
+    if o is None:
+        return np.zeros(3), np.array([0.0, 0.0, 0.0, 1.0])
+    xyz = np.fromstring(o.attrib.get("xyz", "0 0 0"), sep=" ")
+    rpy = np.fromstring(o.attrib.get("rpy", "0 0 0"), sep=" ")
+    return xyz, np_rpy2quat(*rpy)
+
+
+def _add_collisions(builder, link, link_node, ke, kd, kf, mu):
+    for collision in link_node.findall("collision"):
+        pos, rot = _origin(collision)
+        geo = collision.find("geometry")
+        if geo is None:
+            continue
+        box = geo.find("box")
+        sphere = geo.find("sphere")
+        cylinder = geo.find("cylinder")
+        if box is not None:
+            size = np.fromstring(box.attrib["size"], sep=" ")
+            builder.add_shape_box(
+                link, pos, rot,
+                size[0] * 0.5, size[1] * 0.5, size[2] * 0.5,
+                ke=ke, kd=kd, kf=kf, mu=mu,
+            )
+        if sphere is not None:
+            builder.add_shape_sphere(
+                link, pos, rot, float(sphere.attrib["radius"]),
+                ke=ke, kd=kd, kf=kf, mu=mu,
+            )
+        if cylinder is not None:
+            # URDF cylinders are z-aligned; engine capsules are x-aligned
+            r = np_quat_from_axis_angle((0.0, 1.0, 0.0), math.pi * 0.5)
+            builder.add_shape_capsule(
+                link, pos, np_quat_mul(rot, r),
+                float(cylinder.attrib["radius"]),
+                float(cylinder.attrib["length"]) * 0.5,
+                ke=ke, kd=kd, kf=kf, mu=mu,
+            )
+        # mesh collision shapes not needed by the shipped assets
+
+
+def urdf_load(
+    builder: ModelBuilder,
+    filename,
+    xform,
+    floating=False,
+    armature=0.0,
+    shape_ke=1.0e4,
+    shape_kd=1.0e4,
+    shape_kf=1.0e2,
+    shape_mu=0.25,
+    limit_ke=100.0,
+    limit_kd=1.0,
+):
+    tree = ET.parse(filename)
+    robot = tree.getroot()
+
+    links = robot.findall("link")
+    joints = robot.findall("joint")
+    link_map = {l.attrib["name"]: l for l in links}
+    link_index = {}
+
+    builder.add_articulation()
+
+    xform = np.asarray(xform, dtype=np.float64)
+
+    if floating:
+        root = builder.add_link(-1, np_transform_identity(), (0, 0, 0), JOINT_FREE)
+        start = builder.joint_q_start[root]
+        for k in range(7):
+            builder.joint_q[start + k] = float(xform[k])
+    else:
+        root = builder.add_link(-1, xform, (0, 0, 0), JOINT_FIXED)
+
+    _add_collisions(builder, root, links[0], shape_ke, shape_kd, shape_kf, shape_mu)
+    link_index[links[0].attrib["name"]] = root
+
+    for joint in joints:
+        jtype = None
+        axis = (0.0, 0.0, 0.0)
+        t = joint.attrib["type"]
+        if t in ("revolute", "continuous"):
+            jtype = JOINT_REVOLUTE
+        elif t == "prismatic":
+            jtype = JOINT_PRISMATIC
+        elif t == "fixed":
+            jtype = JOINT_FIXED
+        elif t == "floating":
+            jtype = JOINT_FREE
+        if jtype in (JOINT_REVOLUTE, JOINT_PRISMATIC):
+            ax = joint.find("axis")
+            if ax is not None:
+                axis = np.fromstring(ax.attrib.get("xyz", "1 0 0"), sep=" ")
+
+        parent_name = joint.find("parent").attrib["link"]
+        child_name = joint.find("child").attrib["link"]
+        parent = link_index.get(parent_name, -1)
+
+        pos, rot = _origin(joint)
+
+        lower, upper, damping = -1.0e3, 1.0e3, 0.0
+        limit = joint.find("limit")
+        if limit is not None:
+            if "lower" in limit.attrib:
+                lower = float(limit.attrib["lower"])
+            if "upper" in limit.attrib:
+                upper = float(limit.attrib["upper"])
+        dynamics = joint.find("dynamics")
+        if dynamics is not None and "damping" in dynamics.attrib:
+            damping = float(dynamics.attrib["damping"])
+
+        link = builder.add_link(
+            parent=parent,
+            X_pj=np_transform(pos, rot),
+            axis=axis,
+            type=jtype,
+            limit_lower=lower,
+            limit_upper=upper,
+            limit_ke=limit_ke,
+            limit_kd=limit_kd,
+            damping=damping,
+        )
+        _add_collisions(builder, link, link_map[child_name], shape_ke, shape_kd, shape_kf, shape_mu)
+        link_index[child_name] = link

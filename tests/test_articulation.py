@@ -1,0 +1,212 @@
+"""Physics scenario tests for the articulated dynamics core.
+
+Mirrors the reference's script-style scenario tests (dflex/tests/) with
+analytic oracles and central-finite-difference gradient checks
+(test_ant.py:390-424 pattern).
+"""
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffrl_tpu import sim
+from diffrl_tpu.sim import ModelBuilder, State
+
+
+def build_free_sphere(ground=True, density=1000.0, kd=1000.0):
+    b = ModelBuilder()
+    b.add_articulation()
+    link = b.add_link(
+        -1, sim.model.np_transform_identity(), (0.0, 0.0, 0.0), sim.JOINT_FREE
+    )
+    b.add_shape_sphere(link, radius=0.5, density=density, ke=1.0e4, kd=kd, kf=1000.0, mu=0.5)
+    m = b.finalize()
+    return dataclasses.replace(m, ground=ground, gravity=jnp.array([0.0, -9.81, 0.0]))
+
+
+def build_pendulum(stiffness=0.0, damping=0.0):
+    b = ModelBuilder()
+    b.add_articulation()
+    link = b.add_link(
+        -1,
+        sim.model.np_transform_identity(),
+        (0.0, 0.0, 1.0),
+        sim.JOINT_REVOLUTE,
+        armature=0.0,
+        stiffness=stiffness,
+        damping=damping,
+        limit_lower=-1.0e3,
+        limit_upper=1.0e3,
+        limit_ke=0.0,
+        limit_kd=0.0,
+    )
+    b.add_shape_capsule(link, pos=(0.5, 0.0, 0.0), radius=0.05, half_width=0.5, density=1000.0)
+    m = b.finalize()
+    return dataclasses.replace(m, ground=False, gravity=jnp.array([0.0, -9.81, 0.0]))
+
+
+class TestBallistic:
+    def test_free_fall_matches_symplectic_euler(self):
+        model = build_free_sphere(ground=False)
+        state = model.state()
+        # start above the ground
+        q0 = state.joint_q.at[1].set(2.0)
+        state = State(joint_q=q0, joint_qd=state.joint_qd)
+
+        dt, substeps = 1.0 / 60.0, 4
+        h = dt / substeps
+        steps = 30
+
+        step = jax.jit(
+            lambda s: sim.simulate(model, s, dt=dt, substeps=substeps, mass_matrix_freq=1)
+        )
+        for _ in range(steps):
+            state = step(state)
+
+        # symplectic Euler oracle on (v, y)
+        y, v = 2.0, 0.0
+        for _ in range(steps * substeps):
+            v -= 9.81 * h
+            y += v * h
+        np.testing.assert_allclose(float(state.joint_q[1]), y, rtol=1e-4)
+        np.testing.assert_allclose(float(state.joint_qd[4]), v, rtol=1e-4)
+        # x/z and rotation unchanged
+        np.testing.assert_allclose(state.joint_q[0], 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(state.joint_q[3:7]), [0, 0, 0, 1], atol=1e-5)
+
+
+class TestPendulum:
+    def test_initial_acceleration(self):
+        """qdd at rest = -m g d / (I_z + m d^2) for a horizontal pendulum."""
+        model = build_pendulum()
+        q = jnp.zeros(1)
+        qd = jnp.zeros(1)
+        _, qd1, _ = sim.articulation_substep(
+            model, q, qd, jnp.zeros(1), None, dt=1e-3
+        )
+        qdd = float(qd1[0]) / 1e-3
+
+        mb = ModelBuilder()
+        m_mass, I = mb.compute_capsule_inertia(1000.0, 0.05, 1.0)
+        d = 0.5  # COM distance from the joint
+        I_joint = I[2, 2] + m_mass * d * d
+        qdd_expect = -m_mass * 9.81 * d / I_joint
+        np.testing.assert_allclose(qdd, qdd_expect, rtol=1e-3)
+
+    def test_energy_approximately_conserved(self):
+        model = build_pendulum()
+        state = State(joint_q=jnp.array([1.0]), joint_qd=jnp.zeros(1))
+
+        mb = ModelBuilder()
+        m_mass, I = mb.compute_capsule_inertia(1000.0, 0.05, 1.0)
+        d = 0.5
+        I_joint = I[2, 2] + m_mass * d * d
+
+        def energy(s):
+            theta = float(s.joint_q[0])
+            w = float(s.joint_qd[0])
+            # COM height for axis-z rotation from the +x rest direction
+            y = d * math.sin(theta)
+            return 0.5 * I_joint * w * w + m_mass * 9.81 * y
+
+        e0 = energy(state)
+        step = jax.jit(lambda s: sim.simulate(model, s, dt=1.0 / 60.0, substeps=16))
+        for _ in range(60):
+            state = step(state)
+        e1 = energy(state)
+        assert abs(e1 - e0) / abs(e0) < 0.05, (e0, e1)
+
+    def test_grad_matches_finite_difference(self):
+        model = build_pendulum()
+
+        def loss(qd0):
+            s = State(joint_q=jnp.array([0.3]), joint_qd=qd0)
+            for _ in range(5):
+                s = sim.simulate(model, s, dt=1.0 / 60.0, substeps=4)
+            return s.joint_q[0]
+
+        qd0 = jnp.array([0.7])
+        g = jax.grad(loss)(qd0)
+        eps = 1e-3
+        fd = (loss(qd0 + eps) - loss(qd0 - eps)) / (2 * eps)
+        np.testing.assert_allclose(float(g[0]), float(fd), rtol=2e-2)
+
+    def test_pd_target_holds_joint(self):
+        model = build_pendulum(stiffness=5000.0, damping=100.0)
+        model = dataclasses.replace(model, joint_target=jnp.array([0.5]))
+        state = State(joint_q=jnp.array([0.5]), joint_qd=jnp.zeros(1))
+        step = jax.jit(lambda s: sim.simulate(model, s, dt=1.0 / 60.0, substeps=16))
+        for _ in range(120):
+            state = step(state)
+        # strong PD should hold near the target against gravity
+        assert abs(float(state.joint_q[0]) - 0.5) < 0.05
+
+
+class TestContacts:
+    def test_sphere_settles_on_ground(self):
+        # light sphere + strong approach damping so the penalty contact
+        # settles within a few seconds (damping is one-sided, sim.py:1188)
+        model = build_free_sphere(ground=True, density=100.0, kd=1.0e4)
+        state = model.state()
+        state = State(joint_q=state.joint_q.at[1].set(0.6), joint_qd=state.joint_qd)
+
+        step = jax.jit(lambda s: sim.simulate(model, s, dt=1.0 / 60.0, substeps=16))
+        ys = []
+        for i in range(360):
+            state = step(state)
+            if i >= 300:
+                ys.append(float(state.joint_q[1]))
+
+        # rests slightly below radius: ke * c = m g  =>  c = m g / ke
+        m_mass, _ = ModelBuilder.compute_sphere_inertia(100.0, 0.5)
+        c = m_mass * 9.81 / 1.0e4
+        y_mean = float(np.mean(ys))
+        assert abs(y_mean - (0.5 - c)) < 0.02, (y_mean, 0.5 - c)
+        # residual bounce amplitude is small
+        assert float(np.std(ys)) < 0.01
+
+    def test_contact_grad_finite(self):
+        model = build_free_sphere(ground=True)
+
+        def loss(y0):
+            q = model.joint_q_init.at[1].set(y0[0])
+            s = State(joint_q=q, joint_qd=model.joint_qd_init)
+            for _ in range(10):
+                s = sim.simulate(model, s, dt=1.0 / 60.0, substeps=4)
+            return s.joint_q[1]
+
+        g = jax.grad(lambda y: loss(y))(jnp.array([0.55]))
+        assert np.all(np.isfinite(np.asarray(g)))
+        eps = 1e-3
+        fd = (loss(jnp.array([0.55 + eps])) - loss(jnp.array([0.55 - eps]))) / (2 * eps)
+        np.testing.assert_allclose(float(g[0]), float(fd), rtol=5e-2, atol=5e-3)
+
+
+class TestBatching:
+    def test_vmap_matches_individual(self):
+        model = build_pendulum()
+
+        def rollout(q0):
+            s = State(joint_q=q0[None], joint_qd=jnp.zeros(1))
+            s = sim.simulate(model, s, dt=1.0 / 60.0, substeps=8)
+            return s.joint_q[0]
+
+        q0s = jnp.array([0.1, 0.5, -0.4, 1.2])
+        batched = jax.vmap(rollout)(q0s)
+        for i in range(4):
+            np.testing.assert_allclose(
+                float(batched[i]), float(rollout(q0s[i])), rtol=1e-6
+            )
+
+    def test_mass_matrix_caching_close_to_exact(self):
+        model = build_pendulum()
+        s0 = State(joint_q=jnp.array([0.8]), joint_qd=jnp.array([0.2]))
+        exact = sim.simulate(model, s0, dt=1.0 / 60.0, substeps=16, mass_matrix_freq=1)
+        cached = sim.simulate(model, s0, dt=1.0 / 60.0, substeps=16, mass_matrix_freq=16)
+        np.testing.assert_allclose(
+            np.asarray(exact.joint_q), np.asarray(cached.joint_q), rtol=1e-3, atol=1e-4
+        )
