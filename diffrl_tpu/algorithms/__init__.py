@@ -1,1 +1,2 @@
 from .shac import SHAC
+from .bptt import BPTT

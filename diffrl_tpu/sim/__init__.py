@@ -20,6 +20,7 @@ from .model import (
 from .articulation import (
     DynamicsAux,
     articulation_substep,
+    coupled_substep,
     eval_fk,
     eval_ground_contacts,
     eval_id,
@@ -27,4 +28,7 @@ from .articulation import (
     eval_muscles,
     eval_tau,
     simulate,
+    simulate_xpbd,
 )
+from .integrators import SemiImplicitIntegrator, XPBDIntegrator
+from . import particles

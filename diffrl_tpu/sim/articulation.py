@@ -425,11 +425,14 @@ def articulation_substep(
     dt,
     mass_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     return_aux: bool = False,
+    body_f_ext=None,
 ):
     """One dynamics substep of a single articulation.
 
     mass_cache: (H, L) to reuse a previously-factorized mass matrix
     (MM_caching_frequency semantics, sim.py:2107-2113); None recomputes.
+    body_f_ext: optional external per-link wrenches [L, 6] (e.g. particle
+    soft-contact coupling, sim.py:2400-2422).
     Returns (joint_q', joint_qd', (H, L)[, aux]).
     """
     body_X_sc, body_X_sm = eval_fk(model, joint_q)
@@ -438,6 +441,8 @@ def articulation_substep(
     body_f = body_f + eval_ground_contacts(model, body_X_sc, body_v_s)
     if muscle_act is not None:
         body_f = body_f + eval_muscles(model, body_X_sc, muscle_act)
+    if body_f_ext is not None:
+        body_f = body_f + body_f_ext
 
     tau = eval_tau(model, joint_q, joint_qd, joint_act, S_s, body_f)
 
@@ -454,6 +459,71 @@ def articulation_substep(
         aux = DynamicsAux(body_X_sc, body_X_sm, body_v_s, tau, qdd)
         return q_new, qd_new, (H, Lc), aux
     return q_new, qd_new, (H, Lc)
+
+
+def coupled_substep(model: Model, state: State, joint_act, muscle_act, dt,
+                    mass_cache=None):
+    """One semi-implicit substep over BOTH families (articulation + particles)
+    with particle<->rigid soft-contact coupling
+    (SemiImplicitIntegrator._simulate pipeline, sim.py:2225-2613).
+
+    Deviation from the reference: soft contacts see the CURRENT substep's
+    body transforms (the reference feeds the previous substep's cached
+    state_in.body_X_sc, a staleness artifact of its state double-buffering).
+    Returns (State', (H, L) | None).
+    """
+    from . import particles as part
+
+    has_particles = state.particle_q is not None
+    has_links = model.link_count > 0
+    couple = has_particles and model.shape_body is not None
+
+    particle_f = None
+    if has_particles:
+        particle_f = part.particle_forces(model, state.particle_q, state.particle_qd)
+
+    if has_links:
+        body_X_sc, body_X_sm = eval_fk(model, state.joint_q)
+        S_s, I_s, body_v_s, body_f = eval_id(
+            model, state.joint_q, state.joint_qd, body_X_sc, body_X_sm
+        )
+        body_f = body_f + eval_ground_contacts(model, body_X_sc, body_v_s)
+        if muscle_act is not None:
+            body_f = body_f + eval_muscles(model, body_X_sc, muscle_act)
+        if couple:
+            pf, bf = part.eval_soft_contacts(
+                model, state.particle_q, state.particle_qd, body_X_sc, body_v_s
+            )
+            particle_f = particle_f + pf
+            body_f = body_f + bf
+
+        tau = eval_tau(model, state.joint_q, state.joint_qd, joint_act, S_s, body_f)
+        if mass_cache is None:
+            H = eval_mass_matrix(model, S_s, I_s)
+            Lc = chol_regularized(H, model.joint_armature)
+        else:
+            H, Lc = mass_cache
+        qdd = solve_frozen_chol(H, Lc, tau)
+        q_new, qd_new = _integrate_joint(model, state.joint_q, state.joint_qd, qdd, dt)
+        HL = (H, Lc)
+    else:
+        if couple:
+            # static shapes (body == -1) still collide with particles
+            pf, _ = part.eval_soft_contacts(
+                model, state.particle_q, state.particle_qd, None, None
+            )
+            particle_f = particle_f + pf
+        q_new, qd_new, HL = state.joint_q, state.joint_qd, None
+
+    if has_particles:
+        px, pv = part.integrate_particles(
+            state.particle_q, state.particle_qd, particle_f,
+            model.particle_inv_mass, model.gravity, dt,
+        )
+    else:
+        px, pv = state.particle_q, state.particle_qd
+
+    return State(joint_q=q_new, joint_qd=qd_new, particle_q=px, particle_qd=pv), HL
 
 
 def simulate(
@@ -489,27 +559,51 @@ def simulate(
         joint_act = jnp.zeros((model.dof_count,), dtype=jnp.float32)
 
     def block(carry, _):
-        q, qd = carry
         # first substep of the block refactorizes H
-        q, qd, HL = articulation_substep(model, q, qd, joint_act, muscle_act, h)
+        s, HL = coupled_substep(model, carry, joint_act, muscle_act, h)
 
         def inner(c, _):
-            qi, qdi = c
-            qi, qdi, _ = articulation_substep(
-                model, qi, qdi, joint_act, muscle_act, h, mass_cache=HL
+            si, _ = coupled_substep(
+                model, c, joint_act, muscle_act, h, mass_cache=HL
             )
-            return (qi, qdi), None
+            return si, None
 
         if mass_matrix_freq > 1:
-            (q, qd), _ = lax.scan(inner, (q, qd), None, length=mass_matrix_freq - 1)
-        return (q, qd), None
+            s, _ = lax.scan(inner, s, None, length=mass_matrix_freq - 1)
+        return s, None
 
     if remat:
         block = jax.checkpoint(block)
 
     if nblocks > 1:
-        (q, qd), _ = lax.scan(block, (state.joint_q, state.joint_qd), None, length=nblocks)
+        state, _ = lax.scan(block, state, None, length=nblocks)
     else:
-        (q, qd), _ = block((state.joint_q, state.joint_qd), None)
+        state, _ = block(state, None)
 
-    return State(joint_q=q, joint_qd=qd, particle_q=state.particle_q, particle_qd=state.particle_qd)
+    return state
+
+
+def simulate_xpbd(
+    model: Model,
+    state: State,
+    dt: float = 1.0 / 60.0,
+    substeps: int = 16,
+    remat: bool = True,
+) -> State:
+    """Advance one env step with the XPBD position-based integrator
+    (particles only, XPBDIntegrator, sim.py:2901-3000)."""
+    from . import particles as part
+
+    h = dt / float(substeps)
+
+    def sub(s, _):
+        px, pv = part.xpbd_substep(
+            model, s.particle_q, s.particle_qd, h, relaxation=model.relaxation
+        )
+        return State(joint_q=s.joint_q, joint_qd=s.joint_qd,
+                     particle_q=px, particle_qd=pv), None
+
+    if remat:
+        sub = jax.checkpoint(sub)
+    state, _ = lax.scan(sub, state, None, length=substeps)
+    return state

@@ -359,6 +359,11 @@ class Model:
     contact_kf: float = static_field(default=100.0)
     contact_mu: float = static_field(default=0.5)
 
+    # all-pairs cloth self-collision (enable_tri_collisions, sim.py:2266)
+    enable_tri_collisions: bool = static_field(default=False)
+    # XPBD constraint relaxation (model.relaxation, sim.py:2983)
+    relaxation: float = static_field(default=1.0)
+
     ground: bool = static_field(default=True)
 
     # collision shapes (host-side metadata for rendering / soft contacts)
