@@ -31,6 +31,8 @@ from ..utils import AverageMeter, RunningMeanStd, TimeReport, print_info
 
 def _make_optimizer(name: str, schedule, betas):
     name = name.lower()
+    if name == "bptt":  # algo named generically -> reference default optimizer
+        name = "adam"
     if name in ("gd", "sgd"):
         # the reference's GD optimizer (optim/gd.py:12-44) is plain sgd
         return optax.sgd(schedule)

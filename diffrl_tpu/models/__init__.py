@@ -1,8 +1,10 @@
 from .mlp import (
+    ActorCriticPPO,
     ActorDeterministicMLP,
     ActorStochasticMLP,
     CriticMLP,
     DoubleCriticMLP,
+    SACActor,
     apply_mlp,
     init_mlp,
 )

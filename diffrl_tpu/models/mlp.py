@@ -35,14 +35,15 @@ _ACTIVATIONS = {
 }
 
 
-def init_mlp(key, layer_dims: Sequence[int], gain: float = math.sqrt(2.0)):
+def init_mlp(key, layer_dims: Sequence[int], gain: float = math.sqrt(2.0),
+             layer_norm: bool = True):
     params = []
     keys = jax.random.split(key, len(layer_dims) - 1)
     for i, k in enumerate(keys):
         w = _orthogonal(k, (layer_dims[i + 1], layer_dims[i]), gain).astype(jnp.float32)
         b = jnp.zeros((layer_dims[i + 1],), dtype=jnp.float32)
         layer = {"w": w, "b": b}
-        if i < len(layer_dims) - 2:
+        if layer_norm and i < len(layer_dims) - 2:
             layer["ln_scale"] = jnp.ones((layer_dims[i + 1],), dtype=jnp.float32)
             layer["ln_bias"] = jnp.zeros((layer_dims[i + 1],), dtype=jnp.float32)
         params.append(layer)
@@ -51,6 +52,7 @@ def init_mlp(key, layer_dims: Sequence[int], gain: float = math.sqrt(2.0)):
 
 def apply_mlp(params: List[Dict[str, Any]], x, activation: str = "elu"):
     act = _ACTIVATIONS[activation]
+    last = len(params) - 1
     for i, layer in enumerate(params):
         x = x @ layer["w"].T + layer["b"]
         if "ln_scale" in layer:
@@ -59,6 +61,8 @@ def apply_mlp(params: List[Dict[str, Any]], x, activation: str = "elu"):
             var = jnp.var(x, axis=-1, keepdims=True)
             x = (x - mean) / jnp.sqrt(var + 1e-5)
             x = x * layer["ln_scale"] + layer["ln_bias"]
+        elif i < last:
+            x = act(x)
     return x
 
 
@@ -155,3 +159,106 @@ class DoubleCriticMLP:
         q1 = apply_mlp(params["q1"], x, self.activation)
         q2 = apply_mlp(params["q2"], x, self.activation)
         return q1, q2
+
+
+class ActorCriticPPO:
+    """Shared-trunk actor-critic for PPO, rl_games 'continuous_a2c_logstd'
+    parity (/root/reference/externals/rl_games/rl_games/algos_torch/
+    network_builder.py MLP path): plain MLP (no LayerNorm), mu + value heads
+    off the trunk, state-independent logstd initialized to sigma_init val
+    (cfg/ppo/ant.yaml: const 0, fixed_sigma=True)."""
+
+    def __init__(self, obs_dim, action_dim, cfg_network=None):
+        cfg_network = cfg_network or {}
+        mlp_cfg = cfg_network.get("mlp", {})
+        units = list(mlp_cfg.get("units", [128, 64, 32]))
+        self.activation = mlp_cfg.get("activation", "elu")
+        self.trunk_dims = [obs_dim] + units
+        self.hidden = units[-1]
+        self.action_dim = action_dim
+        sigma_init = (
+            cfg_network.get("space", {})
+            .get("continuous", {})
+            .get("sigma_init", {})
+            .get("val", 0.0)
+        )
+        self.sigma_init = float(sigma_init or 0.0)
+
+    def init(self, key):
+        kt, km, kv = jax.random.split(key, 3)
+        trunk = init_mlp(kt, self.trunk_dims, layer_norm=False)
+        mu = init_mlp(km, [self.hidden, self.action_dim], gain=0.01, layer_norm=False)
+        value = init_mlp(kv, [self.hidden, 1], gain=1.0, layer_norm=False)
+        return {
+            "trunk": trunk,
+            "mu": mu,
+            "value": value,
+            "logstd": jnp.full((self.action_dim,), self.sigma_init, dtype=jnp.float32),
+        }
+
+    def __call__(self, params, obs):
+        act = _ACTIVATIONS[self.activation]
+        h = obs
+        for layer in params["trunk"]:
+            h = act(h @ layer["w"].T + layer["b"])
+        mu = apply_mlp(params["mu"], h)
+        value = apply_mlp(params["value"], h)[..., 0]
+        sigma = jnp.broadcast_to(jnp.exp(params["logstd"]), mu.shape)
+        return mu, sigma, value
+
+    def log_prob(self, mu, sigma, actions):
+        return jnp.sum(
+            -0.5 * ((actions - mu) / sigma) ** 2
+            - jnp.log(sigma)
+            - 0.5 * math.log(2.0 * math.pi),
+            axis=-1,
+        )
+
+    def entropy(self, sigma):
+        return jnp.sum(jnp.log(sigma) + 0.5 * math.log(2.0 * math.pi * math.e), axis=-1)
+
+
+class SACActor:
+    """Squashed-Gaussian policy with state-dependent log_std head,
+    rl_games SAC parity (/root/reference/externals/rl_games/rl_games/
+    algos_torch/sac_helper.py SquashedNormal + network_builder log_std
+    bounds): log_std soft-clamped into log_std_bounds, tanh squashing with
+    log-det-Jacobian correction."""
+
+    def __init__(self, obs_dim, action_dim, cfg_network=None):
+        cfg_network = cfg_network or {}
+        mlp_cfg = cfg_network.get("mlp", {})
+        units = list(mlp_cfg.get("units", [256, 128, 64]))
+        self.activation = mlp_cfg.get("activation", "relu")
+        self.layer_dims = [obs_dim] + units + [2 * action_dim]
+        self.action_dim = action_dim
+        lo, hi = cfg_network.get("log_std_bounds", [-5.0, 2.0])
+        self.log_std_min, self.log_std_max = float(lo), float(hi)
+
+    def init(self, key):
+        return {"mlp": init_mlp(key, self.layer_dims, layer_norm=False)}
+
+    def dist(self, params, obs):
+        out = apply_mlp(params["mlp"], obs, self.activation)
+        mu, log_std = jnp.split(out, 2, axis=-1)
+        # soft bound (rl_games network_builder.py: tanh rescale into range)
+        t = jnp.tanh(log_std)
+        log_std = self.log_std_min + 0.5 * (self.log_std_max - self.log_std_min) * (t + 1.0)
+        return mu, jnp.exp(log_std)
+
+    def sample(self, params, obs, key):
+        """Returns (action in [-1,1], log_prob)."""
+        mu, std = self.dist(params, obs)
+        eps = jax.random.normal(key, mu.shape)
+        pre_tanh = mu + eps * std
+        action = jnp.tanh(pre_tanh)
+        log_prob = jnp.sum(
+            -0.5 * eps ** 2 - jnp.log(std) - 0.5 * math.log(2.0 * math.pi)
+            - jnp.log(jnp.maximum(1.0 - action ** 2, 1e-6)),
+            axis=-1,
+        )
+        return action, log_prob
+
+    def mean_action(self, params, obs):
+        mu, _ = self.dist(params, obs)
+        return jnp.tanh(mu)
