@@ -27,6 +27,7 @@ from jax import lax
 from .. import envs as env_registry
 from ..models import ActorDeterministicMLP, ActorStochasticMLP
 from ..utils import AverageMeter, RunningMeanStd, TimeReport, print_info
+from ..utils.tb import TBWriter
 
 
 def _make_optimizer(name: str, schedule, betas):
@@ -122,6 +123,7 @@ class BPTT:
         self.actor_loss = np.inf
         self.time_report = TimeReport()
         self.scalars: Dict[str, list] = {}
+        self.writer = TBWriter(os.path.join(self.log_dir, "log"))
 
         self._build_jitted_fns()
 
@@ -285,7 +287,7 @@ class BPTT:
                 mean_episode_length = 0
 
             self._log_scalars(
-                epoch_time=time.time() - self.start_time,
+                time_elapse=time.time() - self.start_time,
                 actor_loss=self.actor_loss,
                 policy_loss=mean_policy_loss,
                 rewards=-mean_policy_loss if np.isfinite(mean_policy_loss) else np.nan,
@@ -401,11 +403,15 @@ class BPTT:
 
     # -------------------------------------------------------------- logging
 
-    def _log_scalars(self, **kwargs):
+    def _log_scalars(self, time_elapse=None, **kwargs):
+        import numpy as _np
         for k, v in kwargs.items():
             self.scalars.setdefault(k, []).append(
                 (self.iter_count, self.step_count, float(v))
             )
+            if _np.isfinite(float(v)):
+                self.writer.log(k, float(v), self.iter_count, self.step_count,
+                                time_elapse)
         if self.iter_count % 50 == 0 or self.iter_count == self.max_epochs:
             np.savez(
                 os.path.join(self.log_dir, "scalars.npz"),

@@ -37,6 +37,7 @@ from jax import lax
 from .. import envs as env_registry
 from ..models import ActorCriticPPO
 from ..utils import AverageMeter, RunningMeanStd, TimeReport, print_info
+from ..utils.tb import TBWriter
 
 
 class PPO:
@@ -121,6 +122,7 @@ class PPO:
         self.best_rew = -np.inf
         self.time_report = TimeReport()
         self.scalars: Dict[str, list] = {}
+        self.writer = TBWriter(os.path.join(self.log_dir, "log"))
 
         self._build_jitted_fns()
 
@@ -457,11 +459,15 @@ class PPO:
 
     # -------------------------------------------------------------- logging
 
-    def _log_scalars(self, **kwargs):
+    def _log_scalars(self, time_elapse=None, **kwargs):
+        import numpy as _np
         for k, v in kwargs.items():
             self.scalars.setdefault(k, []).append(
                 (self.iter_count, self.step_count, float(v))
             )
+            if _np.isfinite(float(v)):
+                self.writer.log(k, float(v), self.iter_count, self.step_count,
+                                time_elapse)
         if self.iter_count % 50 == 0 or self.iter_count == self.max_epochs:
             np.savez(
                 os.path.join(self.log_dir, "scalars.npz"),

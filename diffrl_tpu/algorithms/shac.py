@@ -35,6 +35,7 @@ from jax import lax
 from .. import envs as env_registry
 from ..models import ActorDeterministicMLP, ActorStochasticMLP, CriticMLP
 from ..utils import AverageMeter, RunningMeanStd, TimeReport, print_info
+from ..utils.tb import TBWriter
 from ..parallel import mesh as mesh_lib
 
 
@@ -142,6 +143,7 @@ class SHAC:
         self.value_loss = np.inf
         self.time_report = TimeReport()
         self.scalars: Dict[str, list] = {}
+        self.writer = TBWriter(os.path.join(self.log_dir, "log"))
 
         self._build_jitted_fns()
 
@@ -464,7 +466,7 @@ class SHAC:
                 mean_episode_length = 0
 
             self._log_scalars(
-                epoch_time=time.time() - self.start_time,
+                time_elapse=time.time() - self.start_time,
                 actor_loss=self.actor_loss,
                 value_loss=self.value_loss,
                 policy_loss=mean_policy_loss,
@@ -599,13 +601,15 @@ class SHAC:
 
     # -------------------------------------------------------------- logging
 
-    def _log_scalars(self, **kwargs):
+    def _log_scalars(self, time_elapse=None, **kwargs):
         for k, v in kwargs.items():
             self.scalars.setdefault(k, []).append(
                 (self.iter_count, self.step_count, float(v))
             )
-        # tensorboard-compatible event writing is provided by utils.tb_writer
-        # when tensorboardX is available; scalars always persist as npz
+            if np.isfinite(float(v)):
+                # reference tag triplet name/{iter,step,time} (shac.py:490-528)
+                self.writer.log(k, float(v), self.iter_count, self.step_count,
+                                time_elapse)
         if self.iter_count % 50 == 0 or self.iter_count == self.max_epochs:
             np.savez(
                 os.path.join(self.log_dir, "scalars.npz"),
