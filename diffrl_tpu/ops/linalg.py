@@ -33,6 +33,97 @@ def chol_regularized(H, reg):
     return lax.linalg.cholesky(A, symmetrize_input=False)
 
 
+def cholesky_unrolled(A):
+    """Cholesky of small SPD matrices, unrolled over the (static) dimension.
+
+    On TPU ``lax.linalg.cholesky`` lowers to a slow sequential custom call
+    per batch element; profiling the Ant step showed it costing ~15% of a
+    whole 16-substep env step. Joint-space H is tiny (2..27 dofs), so an
+    unrolled Cholesky-Banachiewicz in plain jnp turns it into a few hundred
+    fuseable VPU ops over the env batch.
+
+    A: [..., D, D] -> lower-triangular L with the same gradient behavior as
+    the formulaic factorization (we only use it under stop_gradient /
+    frozen-factor conventions anyway).
+    """
+    D = A.shape[-1]
+    # rows[i][j] = scalar [...]-shaped entries of L
+    rows = [[None] * D for _ in range(D)]
+    for i in range(D):
+        for j in range(i + 1):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - rows[i][k] * rows[j][k]
+            if i == j:
+                rows[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+            else:
+                rows[i][j] = s / rows[j][j]
+    zero = jnp.zeros_like(A[..., 0, 0])
+    cols = [
+        jnp.stack([rows[i][j] if j <= i else zero for j in range(D)], axis=-1)
+        for i in range(D)
+    ]
+    return jnp.stack(cols, axis=-2)
+
+
+def chol_inverse(A):
+    """Explicit inverse of small SPD matrices via unrolled Cholesky.
+
+    Factor once per mass-matrix refresh, then every substep's solve is a
+    single [E, D, D] x [E, D] matvec the MXU eats — replacing two
+    triangular-solve custom calls per substep.
+    """
+    D = A.shape[-1]
+    L = cholesky_unrolled(A)
+    zero = jnp.zeros_like(A[..., 0, 0])
+    one = jnp.ones_like(zero)
+    # forward substitution: L Y = I (Y is lower triangular: Y[i][c]=0, c>i)
+    Y = [[zero] * D for _ in range(D)]
+    for i in range(D):
+        for c in range(i + 1):
+            s = one if i == c else zero
+            for k in range(c, i):
+                s = s - L[..., i, k] * Y[k][c]
+            Y[i][c] = s / L[..., i, i]
+    # back substitution: L^T X = Y
+    X = [[zero] * D for _ in range(D)]
+    for i in reversed(range(D)):
+        for c in range(D):
+            s = Y[i][c]
+            for k in range(i + 1, D):
+                s = s - L[..., k, i] * X[k][c]
+            X[i][c] = s / L[..., i, i]
+    rows = [jnp.stack([X[i][c] for c in range(D)], axis=-1) for i in range(D)]
+    return jnp.stack(rows, axis=-2)
+
+
+@jax.custom_vjp
+def solve_frozen_inv(H, Hinv, b):
+    """x = Hinv @ b with the reference's frozen-factor gradient convention
+    (matnn.h:310-336): the factorization/inverse carries no gradient;
+    adj_b = Hinv g, adj_H = -(Hinv g) x^T.
+    """
+    del H
+    return jnp.einsum("...ij,...j->...i", Hinv, b)
+
+
+def _solve_inv_fwd(H, Hinv, b):
+    x = jnp.einsum("...ij,...j->...i", Hinv, b)
+    return x, (Hinv, x)
+
+
+def _solve_inv_bwd(res, g):
+    Hinv, x = res
+    lam = jnp.einsum("...ij,...j->...i", Hinv, g)
+    adj_b = lam
+    adj_H = -lam[..., :, None] * x[..., None, :]
+    adj_Hinv = jnp.zeros_like(Hinv)
+    return adj_H, adj_Hinv, adj_b
+
+
+solve_frozen_inv.defvjp(_solve_inv_fwd, _solve_inv_bwd)
+
+
 def cho_solve_lower(L, b):
     """Solve (L L^T) x = b given lower-triangular L. Supports batched dims."""
     y = lax.linalg.triangular_solve(

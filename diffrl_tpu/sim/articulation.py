@@ -29,6 +29,7 @@ import numpy as np
 from jax import lax
 
 from ..ops import (
+    chol_inverse,
     chol_regularized,
     quat_from_axis_angle,
     quat_identity,
@@ -36,6 +37,7 @@ from ..ops import (
     quat_normalize,
     safe_normalize,
     solve_frozen_chol,
+    solve_frozen_inv,
     spatial_cross,
     spatial_cross_dual,
     spatial_transform_inertia,
@@ -353,6 +355,22 @@ def eval_mass_matrix(model: Model, S_s, I_s):
     return H
 
 
+def _factorize_mass_matrix(model: Model, S_s, I_s):
+    """H plus its frozen explicit inverse (H + armature regularization).
+
+    The reference factorizes (H + diag(armature)) with a Cholesky whose
+    backward is a nop (matnn.h chol adjoint) and reuses L across substeps.
+    On TPU the batched Cholesky/triangular-solve custom calls dominate the
+    step (profiled ~15% for one factorization per 16 substeps), so we
+    materialize the small inverse once per refresh with an unrolled
+    factorization; each substep's solve is then one MXU matvec. Gradients
+    follow the same frozen-factor convention (solve_frozen_inv).
+    """
+    H = eval_mass_matrix(model, S_s, I_s)
+    A = lax.stop_gradient(H) + jnp.diag(model.joint_armature)
+    return H, chol_inverse(A)
+
+
 def _integrate_joint(model: Model, joint_q, joint_qd, qdd, dt):
     """Semi-implicit joint integration (jcalc_integrate, sim.py:1505-1636)."""
     topo = model.topology
@@ -447,18 +465,17 @@ def articulation_substep(
     tau = eval_tau(model, joint_q, joint_qd, joint_act, S_s, body_f)
 
     if mass_cache is None:
-        H = eval_mass_matrix(model, S_s, I_s)
-        Lc = chol_regularized(H, model.joint_armature)
+        H, Hinv = _factorize_mass_matrix(model, S_s, I_s)
     else:
-        H, Lc = mass_cache
+        H, Hinv = mass_cache
 
-    qdd = solve_frozen_chol(H, Lc, tau)
+    qdd = solve_frozen_inv(H, Hinv, tau)
     q_new, qd_new = _integrate_joint(model, joint_q, joint_qd, qdd, dt)
 
     if return_aux:
         aux = DynamicsAux(body_X_sc, body_X_sm, body_v_s, tau, qdd)
-        return q_new, qd_new, (H, Lc), aux
-    return q_new, qd_new, (H, Lc)
+        return q_new, qd_new, (H, Hinv), aux
+    return q_new, qd_new, (H, Hinv)
 
 
 def coupled_substep(model: Model, state: State, joint_act, muscle_act, dt,
@@ -499,13 +516,11 @@ def coupled_substep(model: Model, state: State, joint_act, muscle_act, dt,
 
         tau = eval_tau(model, state.joint_q, state.joint_qd, joint_act, S_s, body_f)
         if mass_cache is None:
-            H = eval_mass_matrix(model, S_s, I_s)
-            Lc = chol_regularized(H, model.joint_armature)
+            HL = _factorize_mass_matrix(model, S_s, I_s)
         else:
-            H, Lc = mass_cache
-        qdd = solve_frozen_chol(H, Lc, tau)
+            HL = mass_cache
+        qdd = solve_frozen_inv(HL[0], HL[1], tau)
         q_new, qd_new = _integrate_joint(model, state.joint_q, state.joint_qd, qdd, dt)
-        HL = (H, Lc)
     else:
         if couple:
             # static shapes (body == -1) still collide with particles

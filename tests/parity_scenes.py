@@ -1,0 +1,123 @@
+"""Scene definitions shared by the reference-engine fixture generator
+(tools/gen_parity_fixtures.py) and the parity test (tests/test_parity.py).
+
+Each build function receives (builder, T) where ``builder`` is either the
+reference dflex ModelBuilder or the diffrl_tpu ModelBuilder (same method
+surface) and ``T(pos, quat)`` constructs a joint transform in whichever
+format that builder expects. Joint-type constants are the shared ints
+(PRISMATIC=0, REVOLUTE=1, BALL=2, FIXED=3, FREE=4).
+"""
+
+import math
+
+import numpy as np
+
+PRISMATIC, REVOLUTE, BALL, FIXED, FREE = 0, 1, 2, 3, 4
+QI = (0.0, 0.0, 0.0, 1.0)
+
+
+def _pendulum2(b, T):
+    b.add_articulation()
+    l0 = b.add_link(-1, T((0.0, 2.0, 0.0), QI), axis=(0.0, 0.0, 1.0),
+                    type=REVOLUTE)
+    b.add_shape_box(l0, pos=(0.25, 0.0, 0.0), hx=0.25, hy=0.05, hz=0.05,
+                    density=1000.0)
+    l1 = b.add_link(l0, T((0.5, 0.0, 0.0), QI), axis=(0.0, 0.0, 1.0),
+                    type=REVOLUTE)
+    b.add_shape_box(l1, pos=(0.25, 0.0, 0.0), hx=0.25, hy=0.05, hz=0.05,
+                    density=1000.0)
+    b.joint_q[0] = 0.6
+    b.joint_q[1] = -0.4
+    return {}
+
+
+def _cartpole(b, T):
+    b.add_articulation()
+    cart = b.add_link(-1, T((0.0, 2.0, 0.0), QI), axis=(1.0, 0.0, 0.0),
+                      type=PRISMATIC, limit_lower=-4.0, limit_upper=4.0)
+    b.add_shape_box(cart, hx=0.25, hy=0.1, hz=0.1, density=1000.0)
+    pole = b.add_link(cart, T((0.0, 0.0, 0.0), QI), axis=(0.0, 0.0, 1.0),
+                      type=REVOLUTE, damping=0.01)
+    b.add_shape_box(pole, pos=(0.0, 0.5, 0.0), hx=0.02, hy=0.5, hz=0.02,
+                    density=500.0)
+    b.joint_q[1] = 0.3
+    return {}
+
+
+def _ball_joint(b, T):
+    b.add_articulation()
+    l0 = b.add_link(-1, T((0.0, 1.5, 0.0), QI), axis=(0.0, 0.0, 0.0),
+                    type=BALL)
+    b.add_shape_box(l0, pos=(0.3, -0.1, 0.1), hx=0.2, hy=0.05, hz=0.1,
+                    density=800.0)
+    # small initial rotation about a skew axis
+    axis = np.array([1.0, 0.0, 0.5]) / np.linalg.norm([1.0, 0.0, 0.5])
+    half = 0.4 / 2
+    b.joint_q[0:4] = [axis[0] * math.sin(half), axis[1] * math.sin(half),
+                      axis[2] * math.sin(half), math.cos(half)]
+    return {}
+
+
+def _freefall_box(b, T):
+    b.add_articulation()
+    l0 = b.add_link(-1, T((0.0, 0.0, 0.0), QI), axis=(0.0, 0.0, 0.0),
+                    type=FREE)
+    b.add_shape_box(l0, hx=0.25, hy=0.1, hz=0.15, density=100.0,
+                    ke=1.0e4, kd=1000.0, kf=500.0, mu=0.5)
+    half = 0.3 / 2
+    b.joint_q[0:3] = [0.0, 0.6, 0.0]
+    b.joint_q[3:7] = [math.sin(half), 0.0, 0.0, math.cos(half)]
+    return {}
+
+
+def _muscle_pendulum(b, T):
+    b.add_articulation()
+    l0 = b.add_link(-1, T((0.0, 2.0, 0.0), QI), axis=(0.0, 0.0, 1.0),
+                    type=REVOLUTE)
+    b.add_shape_box(l0, pos=(0.25, 0.0, 0.0), hx=0.25, hy=0.05, hz=0.05,
+                    density=1000.0)
+    l1 = b.add_link(l0, T((0.5, 0.0, 0.0), QI), axis=(0.0, 0.0, 1.0),
+                    type=REVOLUTE)
+    b.add_shape_box(l1, pos=(0.25, 0.0, 0.0), hx=0.25, hy=0.05, hz=0.05,
+                    density=1000.0)
+    b.add_muscle([l0, l0, l1], [(0.05, 0.1, 0.0), (0.45, 0.1, 0.0),
+                                (0.3, 0.05, 0.0)],
+                 f0=50.0, lm=0.5, lt=0.1, lmax=0.7, pen=0.0)
+    b.joint_q[0] = 0.2
+    return {"muscle_activation": [30.0]}
+
+
+def _spring_particles(b, T):
+    b.add_particle((0.0, 1.0, 0.0), (0.0, 0.0, 0.0), 0.0)   # pinned
+    b.add_particle((0.7, 1.0, 0.0), (0.0, 0.0, 0.0), 1.0)
+    b.add_spring(0, 1, ke=50.0, kd=1.0, control=0.0)
+    return {}
+
+
+def _particle_ground(b, T):
+    b.add_particle((0.1, 0.4, -0.05), (0.5, 0.0, 0.2), 1.0)
+    return {}
+
+
+SCENES = {
+    "pendulum2": dict(build=_pendulum2, ground=False, dt=1.0 / 60.0,
+                      substeps=4, mm_freq=4, steps=90),
+    "pendulum2_mm1": dict(build=_pendulum2, ground=False, dt=1.0 / 60.0,
+                          substeps=4, mm_freq=1, steps=60),
+    "cartpole": dict(build=_cartpole, ground=False, dt=1.0 / 60.0,
+                     substeps=4, mm_freq=4, steps=90),
+    "ball_joint": dict(build=_ball_joint, ground=False, dt=1.0 / 60.0,
+                       substeps=8, mm_freq=8, steps=60),
+    "freefall_box": dict(build=_freefall_box, ground=True, dt=1.0 / 60.0,
+                         substeps=16, mm_freq=16, steps=90),
+    "muscle_pendulum": dict(build=_muscle_pendulum, ground=False,
+                            dt=1.0 / 60.0, substeps=4, mm_freq=4, steps=60),
+    "spring_particles": dict(build=_spring_particles, ground=False,
+                             dt=1.0 / 60.0, substeps=4, steps=90,
+                             materials=dict(contact_ke=1.0e3, contact_kd=0.0,
+                                            contact_kf=1.0e3, contact_mu=0.5)),
+    "particle_ground": dict(build=_particle_ground, ground=True,
+                            dt=1.0 / 60.0, substeps=8, steps=90,
+                            materials=dict(contact_ke=1.0e3, contact_kd=0.0,
+                                           contact_kf=1.0e3, contact_mu=0.5)),
+}
