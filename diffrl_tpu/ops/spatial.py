@@ -113,6 +113,30 @@ def spatial_transform_inertia(t, I):
     return jnp.matmul(jnp.matmul(jnp.swapaxes(T, -1, -2), I), T)
 
 
+def spatial_inertia_matvec(t, I_m, x):
+    """Apply the space-frame spatial inertia to a twist WITHOUT materializing
+    the 6x6: equals ``spatial_transform_inertia(t, I_m) @ x`` exactly
+    (T x = twist(t^-1, x); T^T y = wrench(t, y); I_m block-diagonal).
+
+    Why: under vmap the materialized [E, 6, 6] tensor is padded by TPU
+    tiling to [E, 8, 128] — a 21x HBM blowup that profiling showed dominating
+    the substep. This form stays on [E, 3]/[E, 6] vectors.
+    """
+    from .transform import transform_inverse as _tinv
+
+    u = spatial_transform_twist(_tinv(t), x)
+    I3 = I_m[..., 0:3, 0:3]
+    m = I_m[..., 3, 3]
+    y = jnp.concatenate(
+        [
+            jnp.einsum("...ij,...j->...i", I3, u[..., 0:3]),
+            m[..., None] * u[..., 3:6],
+        ],
+        axis=-1,
+    )
+    return spatial_transform_wrench(t, y)
+
+
 def safe_normalize(v, eps: float = _EPS):
     """Normalize vec3 with zero output AND zero gradient at ||v|| <= eps.
 

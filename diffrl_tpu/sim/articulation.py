@@ -40,6 +40,7 @@ from ..ops import (
     solve_frozen_inv,
     spatial_cross,
     spatial_cross_dual,
+    spatial_inertia_matvec,
     spatial_transform_inertia,
     spatial_transform_twist,
     spatial_transform_wrench,
@@ -122,14 +123,18 @@ def _motion_subspace(jtype: int, axis, X_sj):
 def eval_id(model: Model, joint_q, joint_qd, body_X_sc, body_X_sm):
     """Velocity/bias-force sweep (compute_link_velocity, sim.py:1716-1789).
 
-    Returns (S_s [D,6], I_s [L,6,6], v_s [L,6], body_f [L,6]).
-    body_f is the reference's body_f_s = I a + v x* I v - gravity wrench.
+    Returns (S_s [D,6], v_s [L,6], body_f [L,6]); body_f is the reference's
+    body_f_s = I a + v x* I v - gravity wrench. The spatial inertia is
+    applied in factored form (spatial_inertia_matvec) — materializing the
+    per-link [E, 6, 6] tensors under vmap padded to [E, 8, 128] tiles and
+    dominated the substep's HBM traffic; I_s is only materialized at
+    mass-matrix refresh (eval_spatial_inertias).
     """
     topo = model.topology
     g = model.gravity
 
     S_rows = [None] * topo.dof_count
-    I_s_list, v_list, a_list, f_list = [], [], [], []
+    v_list, a_list, f_list = [], [], []
 
     for i in range(topo.link_count):
         jtype = topo.joint_type[i]
@@ -160,10 +165,10 @@ def eval_id(model: Model, joint_q, joint_qd, body_X_sc, body_X_sm):
         X_com = jnp.concatenate([p_com, quat_identity()])
         f_g_s = spatial_transform_wrench(X_com, f_g_m)
 
-        I_s = spatial_transform_inertia(body_X_sm[i], I_m)
-        f_b = I_s @ a_s + spatial_cross_dual(v_s, I_s @ v_s)
+        Ia = spatial_inertia_matvec(body_X_sm[i], I_m, a_s)
+        Iv = spatial_inertia_matvec(body_X_sm[i], I_m, v_s)
+        f_b = Ia + spatial_cross_dual(v_s, Iv)
 
-        I_s_list.append(I_s)
         v_list.append(v_s)
         a_list.append(a_s)
         f_list.append(f_b - f_g_s)
@@ -171,7 +176,19 @@ def eval_id(model: Model, joint_q, joint_qd, body_X_sc, body_X_sm):
     S_s = (
         jnp.stack(S_rows) if topo.dof_count else jnp.zeros((0, 6))
     )
-    return S_s, jnp.stack(I_s_list), jnp.stack(v_list), jnp.stack(f_list)
+    return S_s, jnp.stack(v_list), jnp.stack(f_list)
+
+
+def eval_spatial_inertias(model: Model, body_X_sm):
+    """Materialized space-frame spatial inertias I_s [L, 6, 6]
+    (spatial_transform_inertia per link) — only needed when the mass matrix
+    is refreshed."""
+    return jnp.stack(
+        [
+            spatial_transform_inertia(body_X_sm[i], model.body_I_m[i])
+            for i in range(model.topology.link_count)
+        ]
+    )
 
 
 def eval_ground_contacts(model: Model, body_X_sc, body_v_s):
@@ -454,7 +471,7 @@ def articulation_substep(
     Returns (joint_q', joint_qd', (H, L)[, aux]).
     """
     body_X_sc, body_X_sm = eval_fk(model, joint_q)
-    S_s, I_s, body_v_s, body_f = eval_id(model, joint_q, joint_qd, body_X_sc, body_X_sm)
+    S_s, body_v_s, body_f = eval_id(model, joint_q, joint_qd, body_X_sc, body_X_sm)
 
     body_f = body_f + eval_ground_contacts(model, body_X_sc, body_v_s)
     if muscle_act is not None:
@@ -465,6 +482,7 @@ def articulation_substep(
     tau = eval_tau(model, joint_q, joint_qd, joint_act, S_s, body_f)
 
     if mass_cache is None:
+        I_s = eval_spatial_inertias(model, body_X_sm)
         H, Hinv = _factorize_mass_matrix(model, S_s, I_s)
     else:
         H, Hinv = mass_cache
@@ -501,7 +519,7 @@ def coupled_substep(model: Model, state: State, joint_act, muscle_act, dt,
 
     if has_links:
         body_X_sc, body_X_sm = eval_fk(model, state.joint_q)
-        S_s, I_s, body_v_s, body_f = eval_id(
+        S_s, body_v_s, body_f = eval_id(
             model, state.joint_q, state.joint_qd, body_X_sc, body_X_sm
         )
         body_f = body_f + eval_ground_contacts(model, body_X_sc, body_v_s)
@@ -516,7 +534,9 @@ def coupled_substep(model: Model, state: State, joint_act, muscle_act, dt,
 
         tau = eval_tau(model, state.joint_q, state.joint_qd, joint_act, S_s, body_f)
         if mass_cache is None:
-            HL = _factorize_mass_matrix(model, S_s, I_s)
+            HL = _factorize_mass_matrix(
+                model, S_s, eval_spatial_inertias(model, body_X_sm)
+            )
         else:
             HL = mass_cache
         qdd = solve_frozen_inv(HL[0], HL[1], tau)

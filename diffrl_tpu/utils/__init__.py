@@ -8,5 +8,7 @@ from .common import (
     print_warning,
     seeding,
 )
+from .dataset import CriticDataset
 from .running_mean_std import RunningMeanStd
 from .time_report import TimeReport, Timer
+from . import profiling
