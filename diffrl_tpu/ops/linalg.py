@@ -75,26 +75,22 @@ def chol_inverse(A):
     """
     D = A.shape[-1]
     L = cholesky_unrolled(A)
-    zero = jnp.zeros_like(A[..., 0, 0])
-    one = jnp.ones_like(zero)
-    # forward substitution: L Y = I (Y is lower triangular: Y[i][c]=0, c>i)
-    Y = [[zero] * D for _ in range(D)]
+    # invert L by row-vectorized forward substitution (one einsum per row —
+    # a fully scalar-unrolled version is O(D^3) graph ops and blows up
+    # compile time for D ~ 27), then A^-1 = L^-T L^-1.
+    eye = jnp.eye(D, dtype=A.dtype)
+    batch_shape = A.shape[:-2]
+    rows = []
     for i in range(D):
-        for c in range(i + 1):
-            s = one if i == c else zero
-            for k in range(c, i):
-                s = s - L[..., i, k] * Y[k][c]
-            Y[i][c] = s / L[..., i, i]
-    # back substitution: L^T X = Y
-    X = [[zero] * D for _ in range(D)]
-    for i in reversed(range(D)):
-        for c in range(D):
-            s = Y[i][c]
-            for k in range(i + 1, D):
-                s = s - L[..., k, i] * X[k][c]
-            X[i][c] = s / L[..., i, i]
-    rows = [jnp.stack([X[i][c] for c in range(D)], axis=-1) for i in range(D)]
-    return jnp.stack(rows, axis=-2)
+        e = jnp.broadcast_to(eye[i], batch_shape + (D,))
+        if i:
+            prev = jnp.stack(rows, axis=-2)  # [..., i, D]
+            s = e - jnp.einsum("...k,...kd->...d", L[..., i, :i], prev)
+        else:
+            s = e
+        rows.append(s / L[..., i, i][..., None])
+    Linv = jnp.stack(rows, axis=-2)
+    return jnp.einsum("...ki,...kj->...ij", Linv, Linv)
 
 
 @jax.custom_vjp
