@@ -16,4 +16,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# the axon TPU plugin registers itself regardless of JAX_PLATFORMS; the
+# config update is what actually pins the test suite to the CPU oracle
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

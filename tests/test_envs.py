@@ -1,0 +1,96 @@
+"""Environment smoke tests (reference: examples/test_env.py pattern —
+random actions, finiteness, reset behavior).
+
+Humanoid/SNUHumanoid compile for minutes on the CPU test backend (22+ link
+unrolled dynamics x XLA CPU): they run only when DIFFRL_SLOW_TESTS=1
+(validated on hardware separately)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import diffrl_tpu.envs as envs
+
+FAST_ENVS = [
+    ("CartPoleSwingUp", 4),
+    ("Ant", 16),
+    ("Hopper", 16),
+    ("Cheetah", 16),
+]
+SLOW_ENVS = [("Humanoid", 48), ("SNUHumanoid", 8)]
+
+slow = pytest.mark.skipif(
+    not os.environ.get("DIFFRL_SLOW_TESTS"),
+    reason="set DIFFRL_SLOW_TESTS=1 (multi-minute CPU compiles)",
+)
+
+
+def _run_env(name, mm, steps=25, num_envs=4):
+    env = envs.make(name, num_envs=num_envs, seed=0, stochastic_init=True,
+                    episode_length=20, MM_caching_frequency=mm)
+    state = env.reset(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def rollout(state, key):
+        def body(carry, _):
+            s, k = carry
+            k, sub = jax.random.split(k)
+            a = jax.random.uniform(sub, (env.num_envs, env.num_acts),
+                                   minval=-1.0, maxval=1.0)
+            s, obs, rew, done, _ = env.step(s, a)
+            return (s, k), (obs, rew, done)
+        (state, _), (obs, rew, done) = jax.lax.scan(
+            body, (state, jax.random.PRNGKey(1)), None, length=steps
+        )
+        return state, obs, rew, done
+
+    state, obs, rew, done = rollout(state, jax.random.PRNGKey(1))
+    assert obs.shape == (steps, num_envs, env.num_obs)
+    assert bool(jnp.all(jnp.isfinite(obs))), f"{name}: non-finite obs"
+    assert bool(jnp.all(jnp.isfinite(rew))), f"{name}: non-finite reward"
+    # episode_length=20 < steps: every env must have reset at least once
+    assert bool(jnp.any(done)), f"{name}: no env ever finished"
+    # progress counters reset on done
+    assert int(jnp.max(state.progress)) <= 20
+    return env, obs
+
+
+@pytest.mark.parametrize("name,mm", FAST_ENVS)
+def test_env_smoke(name, mm):
+    _run_env(name, mm)
+
+
+@slow
+@pytest.mark.parametrize("name,mm", SLOW_ENVS)
+def test_env_smoke_slow(name, mm):
+    _run_env(name, mm, steps=5)
+
+
+def test_obs_dims_match_reference():
+    """obs/act dims per env match the reference table (SURVEY.md §2.5)."""
+    dims = {
+        "CartPoleSwingUp": (5, 1),
+        "Ant": (37, 8),
+        "Hopper": (11, 3),
+        "Cheetah": (17, 6),
+        "Humanoid": (76, 21),
+    }
+    for name, (num_obs, num_acts) in dims.items():
+        cls = envs._REGISTRY[name]
+        assert cls.num_obs == num_obs, (name, cls.num_obs)
+        assert cls.num_acts == num_acts, (name, cls.num_acts)
+    # SNU sets dims at construction: 53 obs / 152 muscle activations in MTU
+    # mode (envs/snu_humanoid.py:30-188 in the reference)
+    snu = envs.make("SNUHumanoid", num_envs=1)
+    assert (snu.num_obs, snu.num_acts) == (53, 152)
+
+
+def test_stochastic_init_varies_and_reset_stops_gradient():
+    env = envs.make("Ant", num_envs=8, seed=0, stochastic_init=True)
+    s1 = env.reset(jax.random.PRNGKey(0))
+    q = np.asarray(s1.joint_q)
+    # different envs get different stochastic starts
+    assert np.std(q[:, 7:]) > 1e-3
