@@ -373,11 +373,49 @@ class SHAC:
             a = self.target_critic_alpha
             return jax.tree.map(lambda t, p: t * a + p * (1.0 - a), target_params, params)
 
+        def train_epoch(actor_params, actor_opt_state, critic_params,
+                        critic_opt_state, target_critic_params, env_state,
+                        obs_rms, ret_rms, trackers, key):
+            """One full SHAC epoch in a single compiled program: rollout +
+            backprop-through-sim actor step, TD(lambda) targets, all critic
+            minibatch iterations, and the polyak target update. One host
+            dispatch + one sync per epoch instead of four."""
+            (actor_params, actor_opt_state, actor_loss, aux,
+             gnorm_before, gnorm_after) = actor_update(
+                actor_params, actor_opt_state, target_critic_params,
+                env_state, obs_rms, ret_rms, trackers, key,
+            )
+            outs = aux["outs"]
+            target_values = compute_target_values(
+                outs["rew"],
+                outs["done"].astype(jnp.float32).at[-1].set(1.0),
+                outs["next_value"],
+            )
+            critic_params, critic_opt_state, value_loss = critic_update(
+                critic_params, critic_opt_state,
+                outs["obs"].reshape(-1, self.num_obs),
+                target_values.reshape(-1),
+            )
+            target_critic_params = polyak(target_critic_params, critic_params)
+            stats = dict(
+                actor_loss=actor_loss, value_loss=value_loss,
+                gnorm_before=gnorm_before, gnorm_after=gnorm_after,
+                done=outs["done"],
+                ep_loss_done=outs["ep_loss_done"],
+                ep_disc_done=outs["ep_disc_done"],
+                ep_len_done=outs["ep_len_done"],
+            )
+            return (actor_params, actor_opt_state, critic_params,
+                    critic_opt_state, target_critic_params,
+                    aux["env_state"], aux["obs_rms"], aux["ret_rms"],
+                    aux["trackers"], stats)
+
         self._rollout = rollout
         self._actor_update = jax.jit(actor_update)
         self._compute_target_values = jax.jit(compute_target_values)
         self._critic_update = jax.jit(critic_update)
         self._polyak = jax.jit(polyak)
+        self._train_epoch = jax.jit(train_epoch)
 
     # ---------------------------------------------------------------- train
 
@@ -393,47 +431,25 @@ class SHAC:
         for epoch in range(self.max_epochs):
             t_epoch = time.time()
 
-            # actor update (rollout + backprop through sim)
             tr.start_timer("actor training")
             self.key, k = jax.random.split(self.key)
-            (self.actor_params, self.actor_opt_state, actor_loss, aux,
-             gnorm_before, gnorm_after) = self._actor_update(
-                self.actor_params, self.actor_opt_state,
-                self.target_critic_params, self.env_state,
-                self.obs_rms, self.ret_rms, self.episode_trackers, k,
+            (self.actor_params, self.actor_opt_state, self.critic_params,
+             self.critic_opt_state, self.target_critic_params,
+             self.env_state, self.obs_rms, self.ret_rms,
+             self.episode_trackers, stats) = self._train_epoch(
+                self.actor_params, self.actor_opt_state, self.critic_params,
+                self.critic_opt_state, self.target_critic_params,
+                self.env_state, self.obs_rms, self.ret_rms,
+                self.episode_trackers, k,
             )
             tr.end_timer("actor training")
 
-            self.env_state = aux["env_state"]
-            self.obs_rms = aux["obs_rms"]
-            self.ret_rms = aux["ret_rms"]
-            self.episode_trackers = aux["trackers"]
-            outs = aux["outs"]
-            self.actor_loss = float(actor_loss)
+            outs = stats
+            gnorm_before = stats["gnorm_before"]
+            gnorm_after = stats["gnorm_after"]
+            self.actor_loss = float(stats["actor_loss"])
+            self.value_loss = float(stats["value_loss"])
             self.step_count += self.steps_num * self.num_envs
-
-            # critic update
-            tr.start_timer("prepare critic dataset")
-            target_values = self._compute_target_values(
-                outs["rew"], outs["done"].astype(jnp.float32).at[-1].set(1.0),
-                outs["next_value"],
-            )
-            obs_flat = outs["obs"].reshape(-1, self.num_obs)
-            target_flat = target_values.reshape(-1)
-            tr.end_timer("prepare critic dataset")
-
-            tr.start_timer("critic training")
-            (self.critic_params, self.critic_opt_state, value_loss) = self._critic_update(
-                self.critic_params, self.critic_opt_state, obs_flat, target_flat
-            )
-            self.value_loss = float(value_loss)
-            tr.end_timer("critic training")
-
-            # target critic polyak (shac.py:533-538)
-            self.target_critic_params = self._polyak(
-                self.target_critic_params, self.critic_params
-            )
-
             self.iter_count += 1
 
             # fold device-side episode stats into host meters

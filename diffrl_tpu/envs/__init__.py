@@ -1,6 +1,7 @@
 """Environment registry (parity with /root/reference/envs/__init__.py)."""
 
 from .base import DiffEnv, EnvState
+from .wrappers import StatefulEnv
 from .ant import AntEnv
 from .cartpole_swing_up import CartPoleSwingUpEnv
 from .cheetah import CheetahEnv

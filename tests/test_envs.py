@@ -94,3 +94,24 @@ def test_stochastic_init_varies_and_reset_stops_gradient():
     q = np.asarray(s1.joint_q)
     # different envs get different stochastic starts
     assert np.std(q[:, 7:]) > 1e-3
+
+
+def test_stateful_wrapper_reference_api():
+    """StatefulEnv mirrors the reference DFlexEnv call surface."""
+    from diffrl_tpu.envs import StatefulEnv
+
+    env = StatefulEnv(envs.make("CartPoleSwingUp", num_envs=4, episode_length=8))
+    obs = env.reset()
+    assert obs.shape == (4, env.num_obs)
+    for _ in range(10):
+        a = jnp.zeros((4, env.num_actions))
+        obs, rew, done, info = env.step(a)
+    assert bool(jnp.all(jnp.isfinite(obs)))
+    assert "obs_before_reset" in info
+    obs2 = env.initialize_trajectory()
+    assert obs2.shape == obs.shape
+    ckpt = env.get_checkpoint()
+    env.step(jnp.ones((4, env.num_actions)))
+    env.load_checkpoint(ckpt)
+    obs3 = env.env.batch_observations(env.state)
+    np.testing.assert_allclose(np.asarray(obs2), np.asarray(obs3))
