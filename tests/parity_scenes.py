@@ -121,3 +121,100 @@ SCENES = {
                             materials=dict(contact_ke=1.0e3, contact_kd=0.0,
                                            contact_kf=1.0e3, contact_mu=0.5)),
 }
+
+
+# ---------------------------------------------------------------------------
+# env-level scenes: models built by diffrl_tpu's asset importers, replayed
+# list-by-list into the reference ModelBuilder by the fixture generator
+# (both builders keep the same field layout). Validates the MJCF/URDF import
+# path and the full env dynamics, not just hand-built scenes.
+
+
+def builder_spec(b):
+    """Serialize a diffrl_tpu ModelBuilder's articulation + shapes."""
+    import numpy as _np
+
+    def arr(x):
+        return [list(map(float, _np.asarray(v).reshape(-1))) for v in x]
+
+    return dict(
+        joint_type=[int(t) for t in b.joint_type],
+        joint_parent=[int(p) for p in b.joint_parent],
+        joint_X_pj=arr(b.joint_X_pj),
+        joint_axis=arr(b.joint_axis),
+        joint_q_start=[int(v) for v in b.joint_q_start],
+        joint_qd_start=[int(v) for v in b.joint_qd_start],
+        joint_armature=[float(v) for v in b.joint_armature],
+        joint_target_ke=[float(v) for v in b.joint_target_ke],
+        joint_target_kd=[float(v) for v in b.joint_target_kd],
+        joint_limit_ke=[float(v) for v in b.joint_limit_ke],
+        joint_limit_kd=[float(v) for v in b.joint_limit_kd],
+        joint_target=[float(v) for v in b.joint_target],
+        joint_limit_lower=[float(v) for v in b.joint_limit_lower],
+        joint_limit_upper=[float(v) for v in b.joint_limit_upper],
+        joint_q=[float(v) for v in b.joint_q],
+        joint_qd=[float(v) for v in b.joint_qd],
+        body_mass=[float(v) for v in b.body_mass],
+        body_inertia=arr(b.body_inertia),
+        body_com=arr(b.body_com),
+        shape_body=[int(v) for v in b.shape_body],
+        shape_geo_type=[int(v) for v in b.shape_geo_type],
+        shape_geo_scale=arr(b.shape_geo_scale),
+        shape_materials=arr(b.shape_materials),
+        shape_transform=arr(b.shape_transform),
+    )
+
+
+def _env_builder(env_name):
+    """Build the env's single-robot model with diffrl_tpu's importers and
+    return (builder, joint_act [D])."""
+    import math as _math
+    import os as _os
+
+    import numpy as _np
+
+    from diffrl_tpu import envs as _envs
+    from diffrl_tpu.sim import ModelBuilder as _MB
+    from diffrl_tpu.sim.model import np_quat_from_axis_angle, np_transform
+
+    _assets = _os.path.join(_os.path.dirname(_envs.__file__), "assets")
+    b = _MB()
+    if env_name == "Ant":
+        from diffrl_tpu.sim.importers.mjcf import parse_mjcf
+
+        parse_mjcf(_os.path.join(_assets, "ant.xml"), b, density=1000.0,
+                   stiffness=0.0, damping=1.0, contact_ke=4.0e4,
+                   contact_kd=1.0e4, contact_kf=3.0e3, contact_mu=0.75,
+                   limit_ke=1.0e3, limit_kd=1.0e1, armature=0.05)
+        b.joint_q[0:3] = [0.0, 0.75, 0.0]
+        b.joint_q[3:7] = list(np_quat_from_axis_angle((1.0, 0.0, 0.0),
+                                                      -_math.pi * 0.5))
+        b.joint_q[7:15] = [0.0, 1.0, 0.0, -1.0, 0.0, -1.0, 0.0, 1.0]
+        b.joint_target[7:15] = [0.0, 1.0, 0.0, -1.0, 0.0, -1.0, 0.0, 1.0]
+    elif env_name == "CartPoleSwingUp":
+        from diffrl_tpu.sim.importers.urdf import urdf_load
+
+        urdf_load(b, _os.path.join(_assets, "cartpole.urdf"),
+                  np_transform((0.0, 2.5, 0.0),
+                               np_quat_from_axis_angle((1.0, 0.0, 0.0),
+                                                       -_math.pi * 0.5)),
+                  floating=False, shape_kd=1.0e4, limit_kd=1.0)
+        b.joint_q[1] = -_math.pi
+    else:
+        raise KeyError(env_name)
+
+    D = len(b.joint_qd)
+    act = _np.zeros(D, dtype=_np.float32)
+    if env_name == "Ant":
+        act[6:] = 40.0 * _np.sin(_np.arange(8))       # constant test torques
+    else:
+        act[0] = 120.0
+    return b, act
+
+
+ENV_SCENES = {
+    "env_cartpole_urdf": dict(env="CartPoleSwingUp", ground=False,
+                              dt=1.0 / 60.0, substeps=4, mm_freq=4, steps=60),
+    "env_ant_mjcf": dict(env="Ant", ground=True, dt=1.0 / 60.0,
+                         substeps=16, mm_freq=16, steps=40),
+}

@@ -82,3 +82,38 @@ def test_trajectory_parity(name):
         got = np.asarray(pq)
         np.testing.assert_allclose(got[:30], fix["particle_q"][:30], atol=early_tol)
         np.testing.assert_allclose(got, fix["particle_q"], atol=full_tol)
+
+
+@pytest.mark.parametrize("name", sorted(__import__("parity_scenes").ENV_SCENES))
+def test_env_model_parity(name):
+    """Env-level parity: the MJCF/URDF-imported models stepped with constant
+    actuation match the reference engine stepping an identically-constructed
+    model (fixture generated via builder replay)."""
+    from parity_scenes import ENV_SCENES, _env_builder
+
+    scene = ENV_SCENES[name]
+    fix = np.load(os.path.join(FIXTURES, f"{name}.npz"))
+
+    b, joint_act = _env_builder(scene["env"])
+    model = dataclasses.replace(b.finalize(), ground=scene["ground"])
+    act = jnp.asarray(joint_act)
+
+    dt = scene["dt"]
+    ss = scene["substeps"]
+    mm = scene["mm_freq"]
+    steps = scene["steps"]
+
+    @jax.jit
+    def roll(state):
+        def body(s, _):
+            s2 = simulate(model, s, joint_act=act, dt=dt, substeps=ss,
+                          mass_matrix_freq=mm)
+            return s2, (s2.joint_q, s2.joint_qd)
+        _, out = jax.lax.scan(body, state, None, length=steps)
+        return out
+
+    q, qd = roll(model.state())
+    got = np.asarray(q)
+    # contact-rich ant accumulates f32 noise fastest; early window is strict
+    np.testing.assert_allclose(got[:15], fix["joint_q"][:15], atol=2e-4)
+    np.testing.assert_allclose(got, fix["joint_q"], atol=2e-2)

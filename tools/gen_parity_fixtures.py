@@ -25,7 +25,35 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
-from parity_scenes import SCENES  # noqa: E402
+from parity_scenes import ENV_SCENES, SCENES, _env_builder, builder_spec  # noqa: E402
+
+
+def replay_spec_into_reference(df, spec):
+    """Assign a serialized diffrl_tpu builder into a reference ModelBuilder
+    (both keep the same list-field layout; transforms are re-wrapped)."""
+    import numpy as np
+
+    b = df.sim.ModelBuilder()
+    b.articulation_start = [0]
+    for k in ("joint_type", "joint_parent", "joint_q_start", "joint_qd_start",
+              "joint_armature", "joint_target_ke", "joint_target_kd",
+              "joint_limit_ke", "joint_limit_kd", "joint_target",
+              "joint_limit_lower", "joint_limit_upper", "joint_q", "joint_qd",
+              "body_mass", "shape_body", "shape_geo_type"):
+        setattr(b, k, list(spec[k]))
+    b.joint_axis = [np.array(a) for a in spec["joint_axis"]]
+    b.joint_X_pj = [
+        df.transform(tuple(t[0:3]), tuple(t[3:7])) for t in spec["joint_X_pj"]
+    ]
+    b.body_inertia = [np.array(i).reshape(3, 3) for i in spec["body_inertia"]]
+    b.body_com = [np.array(c) for c in spec["body_com"]]
+    b.shape_transform = [
+        df.transform(tuple(t[0:3]), tuple(t[3:7])) for t in spec["shape_transform"]
+    ]
+    b.shape_geo_scale = [tuple(s) for s in spec["shape_geo_scale"]]
+    b.shape_geo_src = [None] * len(spec["shape_body"])
+    b.shape_materials = [tuple(m) for m in spec["shape_materials"]]
+    return b
 
 
 def main():
@@ -47,9 +75,18 @@ def main():
     def T(pos, quat):
         return df.transform(tuple(pos), tuple(quat))
 
-    for name, scene in SCENES.items():
-        builder = df.sim.ModelBuilder()
-        spec = scene["build"](builder, T)
+    all_scenes = dict(SCENES)
+    for name, sc in ENV_SCENES.items():
+        all_scenes[name] = dict(sc, env_scene=True)
+
+    for name, scene in all_scenes.items():
+        if scene.get("env_scene"):
+            our_builder, joint_act = _env_builder(scene["env"])
+            builder = replay_spec_into_reference(df, builder_spec(our_builder))
+            spec = {"joint_act": joint_act}
+        else:
+            builder = df.sim.ModelBuilder()
+            spec = scene["build"](builder, T)
         model = builder.finalize("cpu")
         model.ground = scene.get("ground", False)
         for k, v in scene.get("materials", {}).items():
@@ -67,6 +104,10 @@ def main():
         for attr, val in list(vars(state).items()):
             if isinstance(val, torch.Tensor):
                 setattr(state, attr, val.detach())
+        if spec and "joint_act" in spec:
+            state.joint_act = torch.tensor(
+                np.asarray(spec["joint_act"]), dtype=torch.float32
+            )
         model.collide(state)
 
         integrator = df.sim.SemiImplicitIntegrator()
