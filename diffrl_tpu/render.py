@@ -99,6 +99,7 @@ class UsdRenderer:
         self.path = path
         self.fps = fps
         self.end_time = 0.0
+        self._fk_jit = None
         self.root = _Prim("root", "Xform")
 
         if model.particle_count:
@@ -181,8 +182,11 @@ class UsdRenderer:
             )
 
         if self.model.link_count and self._bodies:
-            X_sc, _ = eval_fk(self.model, state.joint_q)
-            X_sc = np.asarray(X_sc)
+            if self._fk_jit is None:
+                import jax
+
+                self._fk_jit = jax.jit(lambda q: eval_fk(self.model, q)[0])
+            X_sc = np.asarray(self._fk_jit(state.joint_q))
             for b, prim in self._bodies.items():
                 prim.sample("double3 xformOp:translate", t, _vec3(X_sc[b, 0:3]))
                 prim.sample("quatf xformOp:orient", t, _quatf(X_sc[b, 3:7]))

@@ -50,11 +50,27 @@ def main():
     jax.block_until_ready(obs)
     print(f"compile: {time.time() - t0:.1f}s")
 
+    renderer = None
+    if args.render:
+        from diffrl_tpu.render import UsdRenderer
+        from diffrl_tpu.sim import State
+
+        renderer = UsdRenderer(env.model, f"outputs/{args.env}.usda",
+                               fps=1.0 / env.dt)
+
     t0 = time.time()
-    for _ in range(args.steps - 1):
+    for i in range(args.steps - 1):
         state, key, obs, rew, done = step_fn(state, key)
+        if renderer is not None and i % 2 == 0:
+            renderer.update(
+                State(joint_q=state.joint_q[0], joint_qd=state.joint_qd[0]),
+                (i + 1) * env.dt,
+            )
     jax.block_until_ready(obs)
     elapsed = time.time() - t0
+
+    if renderer is not None:
+        print("wrote", renderer.save())
 
     assert bool(jnp.all(jnp.isfinite(obs))), "non-finite observations"
     fps = (args.steps - 1) * args.num_envs / elapsed
