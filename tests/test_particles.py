@@ -294,3 +294,30 @@ def test_semi_implicit_integrator_class_api():
     integ = SemiImplicitIntegrator()
     state = integ.forward(model, model.state(), 1.0 / 60.0, substeps=4)
     assert state.particle_q.shape == (1, 3)
+
+
+def test_lift_drag_aerodynamics():
+    """Cloth aero forces (test_lift_drag.py analog): a moving triangle in
+    'air' feels drag opposing velocity; forces are finite and differentiable."""
+    b = ModelBuilder()
+    b.add_particle((0.0, 2.0, 0.0), (0.0, 0.0, 2.0), 1.0)
+    b.add_particle((0.5, 2.0, 0.0), (0.0, 0.0, 2.0), 1.0)
+    b.add_particle((0.0, 2.5, 0.0), (0.0, 0.0, 2.0), 1.0)
+    b.add_triangle(0, 1, 2)
+    model = dataclasses.replace(
+        b.finalize(), ground=False,
+        tri_ke=100.0, tri_ka=100.0, tri_kd=1.0, tri_drag=5.0, tri_lift=5.0,
+    )
+    from diffrl_tpu.sim.particles import eval_triangles
+
+    f = eval_triangles(model, model.particle_q_init, model.particle_qd_init)
+    assert bool(jnp.all(jnp.isfinite(f)))
+    # drag acts against the +z motion on the free vertices
+    assert float(jnp.sum(f[:, 2])) < 0.0
+
+    def loss(v0):
+        f = eval_triangles(model, model.particle_q_init, v0)
+        return jnp.sum(f ** 2)
+
+    g = jax.grad(loss)(model.particle_qd_init)
+    assert bool(jnp.all(jnp.isfinite(g)))
