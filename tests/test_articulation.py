@@ -210,3 +210,69 @@ class TestBatching:
         np.testing.assert_allclose(
             np.asarray(exact.joint_q), np.asarray(cached.joint_q), rtol=1e-3, atol=1e-4
         )
+
+
+class TestMaximalCoordsRigid:
+    """Maximal-coordinate rigid body family (test_rigid_bounce.py analog)."""
+
+    def test_rigid_bounce(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from diffrl_tpu.sim.rigid import eval_rigid_contacts, integrate_rigids
+
+        B = 1
+        x = jnp.array([[0.0, 0.5, 0.0]])
+        r = jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (B, 1))
+        v = jnp.zeros((B, 3))
+        w = jnp.zeros((B, 3))
+        inv_m = jnp.ones(B)
+        inv_I = jnp.tile(jnp.eye(3) * 10.0, (B, 1, 1))
+        gravity = jnp.array([0.0, -9.8, 0.0])
+
+        cb = jnp.zeros(1, dtype=jnp.int32)
+        cp = jnp.array([[0.0, 0.0, 0.0]])
+        cd = jnp.array([0.1])  # sphere radius
+        cm = jnp.array([[1.0e4, 100.0, 100.0, 0.5]])
+
+        @jax.jit
+        def step(state):
+            x, r, v, w = state
+            f, t = eval_rigid_contacts(x, r, v, w, cb, cp, cd, cm)
+            return integrate_rigids(x, r, v, w, f, t, inv_m, inv_I, gravity,
+                                    1.0 / 480.0)
+
+        state = (x, r, v, w)
+        ys = []
+        for _ in range(960):
+            state = step(state)
+            ys.append(float(state[0][0, 1]))
+        ys = np.array(ys)
+        assert np.all(np.isfinite(ys))
+        # settles near the contact thickness, never tunnels through
+        assert ys.min() > 0.0
+        assert abs(ys[-1] - 0.1) < 0.05
+
+    def test_spin_conserves_momentum(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from diffrl_tpu.sim.rigid import integrate_rigids
+
+        x = jnp.zeros((1, 3))
+        r = jnp.array([[0.0, 0.0, 0.0, 1.0]])
+        v = jnp.zeros((1, 3))
+        w = jnp.array([[0.0, 0.0, 2.0]])
+        inv_m = jnp.ones(1)
+        inv_I = jnp.tile(jnp.eye(3), (1, 1, 1))
+        g = jnp.zeros(3)
+        f = jnp.zeros((1, 3))
+        t = jnp.zeros((1, 3))
+        state = (x, r, v, w)
+        for _ in range(100):
+            state = integrate_rigids(*state, f, t, inv_m, inv_I, g, 0.01)
+        x1, r1, v1, w1 = state
+        np.testing.assert_allclose(np.asarray(w1), [[0.0, 0.0, 2.0]], atol=1e-4)
+        # unit quaternion maintained
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(r1)), 1.0, atol=1e-5)
