@@ -136,3 +136,19 @@ def test_shac_checkpoint_roundtrip(tmp_path):
                     jax.tree.leaves(shac2.actor_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert shac2.iter_count == shac.iter_count
+
+
+def test_shac_deterministic_across_runs():
+    """Same seed => bitwise-identical parameters after an epoch (the CPU
+    oracle's determinism guarantee; the reference needs special cuBLAS
+    modes for this, utils/common.py:83-95)."""
+    cfg = _base_cfg({"critic_method": "td-lambda", "obs_rms": True,
+                     "critic_iterations": 2, "num_batch": 2,
+                     "max_epochs": 1})
+    outs = []
+    for _ in range(2):
+        shac = SHAC(cfg)
+        shac.train()
+        outs.append(jax.tree.leaves(shac.actor_params))
+    for a, b in zip(*outs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
