@@ -241,6 +241,84 @@ def eval_triangles_contact(model, x, v):
     return out
 
 
+def eval_triangles_rigid_contacts(
+    model, x, v, rigid_x, rigid_r, rigid_v, rigid_w,
+    contact_body, contact_point, contact_dist, contact_mat,
+):
+    """Cloth-vs-rigid-body contact (eval_triangles_rigid_contacts,
+    sim.py:436-550): each rigid contact point tests against every triangle;
+    penalty normal + damping + box Coulomb friction applied to the triangle
+    vertices barycentrically (the reference leaves the rigid-side reaction
+    commented out; we match). Rigid bodies in maximal coordinates.
+
+    contact_mat: [K, 4] (ke, kd, kf, mu) per contact point.
+    Returns particle force accumulation [P, 3].
+    """
+    from ..ops import quat_rotate
+
+    P = x.shape[0]
+    i = model.tri_indices[:, 0]
+    j = model.tri_indices[:, 1]
+    k = model.tri_indices[:, 2]
+
+    xb = rigid_x[contact_body]
+    rb = rigid_r[contact_body]
+    vb = rigid_v[contact_body]
+    wb = rigid_w[contact_body]
+    ke, kd, kf, mu = (contact_mat[:, c] for c in range(4))
+
+    pos = xb + quat_rotate(rb, contact_point)          # [K, 3]
+    arm = pos - xb
+    rhat = safe_normalize(arm)
+    pos = pos + rhat * contact_dist[:, None]           # add shape thickness
+    dpdt = vb + jnp.cross(wb, arm)                     # contact point velocity
+
+    p = x[i][:, None, :]                               # [T, 1, 3]
+    q = x[j][:, None, :]
+    r = x[k][:, None, :]
+    pos_b = pos[None, :, :]                            # [1, K, 3]
+
+    bary = triangle_closest_point_barycentric(p, q, r, pos_b)   # [T, K, 3]
+    closest = p * bary[..., 0:1] + q * bary[..., 1:2] + r * bary[..., 2:3]
+
+    diff = pos_b - closest
+    dist = jnp.sum(diff * diff, axis=-1)
+    n = safe_normalize(diff)                           # points into the body
+    c = jnp.minimum(dist - 0.05, 0.0)                  # [T, K]
+
+    fn = c * ke                                        # normal (negative)
+
+    vtri = (
+        v[i][:, None, :] * bary[..., 0:1]
+        + v[j][:, None, :] * bary[..., 1:2]
+        + v[k][:, None, :] * bary[..., 2:3]
+    )
+    vrel = vtri - dpdt[None, :, :]
+    vn = jnp.sum(n * vrel, axis=-1)
+    vt = vrel - n * vn[..., None]
+
+    step_c = (c < 0.0).astype(x.dtype)
+    fd = -jnp.maximum(vn, 0.0) * kd * step_c
+
+    lower = mu * (fn + fd)
+    upper = -lower
+
+    nx = jnp.cross(n, jnp.array([0.0, 0.0, 1.0]))
+    nz = jnp.cross(n, jnp.array([1.0, 0.0, 0.0]))
+    vx = jnp.clip(jnp.sum(nx * kf[None, :, None] * vt, axis=-1), lower, upper)
+    vz = jnp.clip(jnp.sum(nz * kf[None, :, None] * vt, axis=-1), lower, upper)
+    ft = (nx * vx[..., None] + nz * vz[..., None]) * (-step_c[..., None])
+
+    f_total = n * (fn + fd)[..., None] + ft            # [T, K, 3]
+
+    f_i = jnp.sum(f_total * bary[..., 0:1], axis=1)
+    f_j = jnp.sum(f_total * bary[..., 1:2], axis=1)
+    f_k = jnp.sum(f_total * bary[..., 2:3], axis=1)
+    return (
+        _scatter(f_i, i, P) + _scatter(f_j, j, P) + _scatter(f_k, k, P)
+    )
+
+
 def eval_bending(model, x, v):
     """Discrete-hinge bending (Bridson) (eval_bending, sim.py:553-614)."""
     P = x.shape[0]

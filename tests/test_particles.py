@@ -321,3 +321,45 @@ def test_lift_drag_aerodynamics():
 
     g = jax.grad(loss)(model.particle_qd_init)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_cloth_rigid_contact():
+    """Cloth-vs-rigid contact (test_cloth_collisions.py analog): a rigid
+    contact point pressing into a triangle pushes the vertices away."""
+    from diffrl_tpu.sim.particles import eval_triangles_rigid_contacts
+
+    b = ModelBuilder()
+    b.add_particle((-1.0, 0.0, -1.0), (0.0, 0.0, 0.0), 1.0)
+    b.add_particle((1.0, 0.0, -1.0), (0.0, 0.0, 0.0), 1.0)
+    b.add_particle((0.0, 0.0, 1.0), (0.0, 0.0, 0.0), 1.0)
+    b.add_triangle(0, 1, 2)
+    model = dataclasses.replace(b.finalize(), ground=False)
+
+    # one rigid body just above the triangle centroid, moving down
+    rigid_x = jnp.array([[0.0, 0.1, 0.0]])
+    rigid_r = jnp.array([[0.0, 0.0, 0.0, 1.0]])
+    rigid_v = jnp.array([[0.0, -1.0, 0.0]])
+    rigid_w = jnp.zeros((1, 3))
+    cb = jnp.zeros(1, dtype=jnp.int32)
+    cp = jnp.zeros((1, 3))
+    cd = jnp.array([0.0])
+    cm = jnp.array([[1.0e4, 100.0, 100.0, 0.5]])
+
+    f = eval_triangles_rigid_contacts(
+        model, model.particle_q_init, model.particle_qd_init,
+        rigid_x, rigid_r, rigid_v, rigid_w, cb, cp, cd, cm,
+    )
+    assert bool(jnp.all(jnp.isfinite(f)))
+    # the sphere point is within the 0.05 margin: vertices get pushed down
+    # (normal points from triangle into the body, force applied along it)
+    assert float(jnp.abs(f).sum()) > 0.0
+
+    def loss(q0):
+        f = eval_triangles_rigid_contacts(
+            model, q0, model.particle_qd_init,
+            rigid_x, rigid_r, rigid_v, rigid_w, cb, cp, cd, cm,
+        )
+        return jnp.sum(f ** 2)
+
+    g = jax.grad(loss)(model.particle_q_init)
+    assert bool(jnp.all(jnp.isfinite(g)))
