@@ -39,8 +39,12 @@ def _make_optimizer(name: str, schedule, betas):
         return optax.sgd(schedule)
     if name == "adam":
         return optax.adam(schedule, b1=betas[0], b2=betas[1])
-    if name == "lbfgs" and hasattr(optax, "lbfgs"):
-        return optax.lbfgs()
+    if name == "lbfgs":
+        raise NotImplementedError(
+            "lbfgs needs a value_fn-driven line search that re-runs the "
+            "rollout per evaluation; use gd/sgd/adam (the reference's "
+            "shipped configs all use adam)"
+        )
     raise ValueError(f"unknown optimizer '{name}'")
 
 
@@ -234,8 +238,7 @@ class BPTT:
     def train(self):
         self.start_time = time.time()
         tr = self.time_report
-        for t in ("algorithm", "compute actor loss", "forward simulation",
-                  "backward simulation", "actor training"):
+        for t in ("algorithm", "actor training"):
             tr.add_timer(t)
         tr.start_timer("algorithm")
 

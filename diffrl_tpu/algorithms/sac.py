@@ -163,7 +163,9 @@ class SAC:
             next_a, next_logp = self.actor.sample(actor_params, next_obs_n, k1)
             tq1, tq2 = self.critic(target_params, next_obs_n, next_a)
             target_v = jnp.minimum(tq1[..., 0], tq2[..., 0]) - alpha * next_logp
-            target_q = rews + gamma * (1.0 - dones) * target_v
+            # where() not (1-done)*v: 0*NaN would still poison terminal
+            # transitions whose next_obs hit the env's blow-up defenses
+            target_q = rews + gamma * jnp.where(dones > 0.0, 0.0, target_v)
             target_q = lax.stop_gradient(target_q)
 
             def critic_loss(cp):
@@ -234,8 +236,12 @@ class SAC:
                     learner = learner[:-1] + (obs_rms,)
 
                 # store the PRE-reset successor so bootstrap sees the true
-                # terminal state (the reference stores env-returned obs)
-                next_obs = info["obs_before_reset"]
+                # terminal state (the reference stores env-returned obs);
+                # sanitized: blow-up terminations may carry NaN/inf
+                next_obs = jnp.clip(
+                    jnp.nan_to_num(info["obs_before_reset"], 0.0, 0.0, 0.0),
+                    -1e6, 1e6,
+                )
                 buffer = buffer_add(
                     buffer, obs, actions, rew, next_obs,
                     done.astype(jnp.float32),

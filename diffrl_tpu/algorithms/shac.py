@@ -36,7 +36,6 @@ from .. import envs as env_registry
 from ..models import ActorDeterministicMLP, ActorStochasticMLP, CriticMLP
 from ..utils import AverageMeter, RunningMeanStd, TimeReport, print_info
 from ..utils.tb import TBWriter
-from ..parallel import mesh as mesh_lib
 
 
 class SHAC:
@@ -108,7 +107,11 @@ class SHAC:
         self.betas = tuple(config.get("betas", (0.7, 0.95)))
         if self.lr_schedule == "linear":
             actor_sched = optax.linear_schedule(self.actor_lr, 1e-5, self.max_epochs)
-            critic_sched = optax.linear_schedule(self.critic_lr, 1e-5, self.max_epochs)
+            # the critic optimizer steps critic_iterations*num_batch times per
+            # epoch; scale the schedule horizon so the LR decays over the SAME
+            # wall-clock as the reference's per-epoch LR assignment
+            critic_steps = self.max_epochs * self.critic_iterations * self.num_batch
+            critic_sched = optax.linear_schedule(self.critic_lr, 1e-5, critic_steps)
         else:
             actor_sched, critic_sched = self.actor_lr, self.critic_lr
         self.actor_opt = optax.adam(actor_sched, b1=self.betas[0], b2=self.betas[1])
@@ -422,9 +425,7 @@ class SHAC:
     def train(self):
         self.start_time = time.time()
         tr = self.time_report
-        for t in ("algorithm", "compute actor loss", "forward simulation",
-                  "backward simulation", "prepare critic dataset",
-                  "actor training", "critic training"):
+        for t in ("algorithm", "actor training"):
             tr.add_timer(t)
         tr.start_timer("algorithm")
 

@@ -96,6 +96,14 @@ def urdf_load(
 
     xform = np.asarray(xform, dtype=np.float64)
 
+    # the root is the link that is never any joint's child (URDF does not
+    # require it to be listed first, nor joints to be topologically sorted)
+    child_names = {j.find("child").attrib["link"] for j in joints}
+    root_names = [l.attrib["name"] for l in links if l.attrib["name"] not in child_names]
+    if len(root_names) != 1:
+        raise ValueError(f"URDF must have exactly one root link, found {root_names}")
+    root_name = root_names[0]
+
     if floating:
         root = builder.add_link(-1, np_transform_identity(), (0, 0, 0), JOINT_FREE)
         start = builder.joint_q_start[root]
@@ -104,10 +112,29 @@ def urdf_load(
     else:
         root = builder.add_link(-1, xform, (0, 0, 0), JOINT_FIXED)
 
-    _add_collisions(builder, root, links[0], shape_ke, shape_kd, shape_kf, shape_mu)
-    link_index[links[0].attrib["name"]] = root
+    _add_collisions(builder, root, link_map[root_name], shape_ke, shape_kd, shape_kf, shape_mu)
+    link_index[root_name] = root
 
-    for joint in joints:
+    # process joints parent-first regardless of document order
+    pending = list(joints)
+    ordered = []
+    known = {root_name}
+    while pending:
+        progressed = False
+        remaining = []
+        for j in pending:
+            if j.find("parent").attrib["link"] in known:
+                ordered.append(j)
+                known.add(j.find("child").attrib["link"])
+                progressed = True
+            else:
+                remaining.append(j)
+        pending = remaining
+        if not progressed and pending:
+            bad = [j.attrib.get("name", "?") for j in pending]
+            raise ValueError(f"URDF joints form no tree from root: {bad}")
+
+    for joint in ordered:
         jtype = None
         axis = (0.0, 0.0, 0.0)
         t = joint.attrib["type"]
@@ -119,6 +146,11 @@ def urdf_load(
             jtype = JOINT_FIXED
         elif t == "floating":
             jtype = JOINT_FREE
+        else:
+            raise ValueError(
+                f"unsupported URDF joint type '{t}' "
+                f"(joint '{joint.attrib.get('name', '?')}')"
+            )
         if jtype in (JOINT_REVOLUTE, JOINT_PRISMATIC):
             ax = joint.find("axis")
             if ax is not None:
@@ -126,7 +158,7 @@ def urdf_load(
 
         parent_name = joint.find("parent").attrib["link"]
         child_name = joint.find("child").attrib["link"]
-        parent = link_index.get(parent_name, -1)
+        parent = link_index[parent_name]
 
         pos, rot = _origin(joint)
 

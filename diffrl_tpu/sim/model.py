@@ -665,9 +665,14 @@ class ModelBuilder:
     def add_cloth_grid(self, pos, rot, vel, dim_x, dim_y, cell_x, cell_y, mass,
                        reverse_winding=False, fix_left=False, fix_right=False,
                        fix_top=False, fix_bottom=False):
-        """Regular cloth grid of particles + triangles + bending edges
-        (model.py add_cloth_grid semantics)."""
+        """Regular cloth grid: particles + FEM triangles + bending hinges
+        derived from mesh adjacency (model.py add_cloth_grid semantics,
+        including its triangulation/winding conventions)."""
         start_vertex = len(self.particle_q)
+        start_tri = len(self.tri_indices)
+
+        def grid_index(x, y):
+            return start_vertex + y * (dim_x + 1) + x
 
         for y in range(dim_y + 1):
             for x in range(dim_x + 1):
@@ -679,65 +684,133 @@ class ModelBuilder:
                     m = 0.0
                 self.add_particle(world, vel, m)
 
-        def grid_index(x, y):
-            return start_vertex + y * (dim_x + 1) + x
+                if x > 0 and y > 0:
+                    if reverse_winding:
+                        self.add_triangle(grid_index(x - 1, y - 1),
+                                          grid_index(x, y - 1),
+                                          grid_index(x, y))
+                        self.add_triangle(grid_index(x - 1, y - 1),
+                                          grid_index(x, y),
+                                          grid_index(x - 1, y))
+                    else:
+                        self.add_triangle(grid_index(x - 1, y - 1),
+                                          grid_index(x, y - 1),
+                                          grid_index(x - 1, y))
+                        self.add_triangle(grid_index(x, y - 1),
+                                          grid_index(x, y),
+                                          grid_index(x - 1, y))
 
-        for y in range(dim_y):
-            for x in range(dim_x):
-                v0 = grid_index(x, y)
-                v1 = grid_index(x + 1, y)
-                v2 = grid_index(x + 1, y + 1)
-                v3 = grid_index(x, y + 1)
-                if not reverse_winding:
-                    self.add_triangle(v0, v1, v2)
-                    self.add_triangle(v0, v2, v3)
+        # bending hinges from triangle adjacency (util.py MeshAdjacency)
+        self._add_adjacency_edges(self.tri_indices[start_tri:])
+
+    def _add_adjacency_edges(self, tris):
+        """One bending hinge per interior edge: add_edge(o0, o1, v0, v1)."""
+        edges = {}
+        for f, tri in enumerate(tris):
+            for (i0, i1, o) in ((tri[0], tri[1], tri[2]),
+                                (tri[1], tri[2], tri[0]),
+                                (tri[2], tri[0], tri[1])):
+                key = (min(i0, i1), max(i0, i1))
+                if key in edges:
+                    e = edges[key]
+                    if e[3] == -1:
+                        edges[key] = (e[0], e[1], e[2], o)
                 else:
-                    self.add_triangle(v0, v1, v3)
-                    self.add_triangle(v1, v2, v3)
+                    edges[key] = (i0, i1, o, -1)
+        for (v0, v1, o0, o1) in edges.values():
+            if o1 == -1:
+                continue  # open boundary edge
+            self.add_edge(o0, o1, v0, v1)
 
-        # structural bending edges across interior grid lines
-        for y in range(dim_y + 1):
-            for x in range(dim_x):
-                if 0 < y < dim_y:
-                    self.add_edge(grid_index(x, y - 1), grid_index(x, y + 1),
-                                  grid_index(x, y), grid_index(x + 1, y))
-        for y in range(dim_y):
-            for x in range(dim_x + 1):
-                if 0 < x < dim_x:
-                    self.add_edge(grid_index(x - 1, y), grid_index(x + 1, y),
-                                  grid_index(x, y), grid_index(x, y + 1))
-
-    def add_soft_grid(self, pos, rot, vel, dim_x, dim_y, dim_z, cell_x, cell_y, cell_z,
-                      density, k_mu=1.0e3, k_lambda=1.0e3, k_damp=0.0, fix_left=False):
-        """Regular hexahedral soft-body grid, 5 tets per cell."""
+    def add_cloth_mesh(self, pos, rot, scale, vel, vertices, indices, density):
+        """Cloth from a 2-manifold triangle mesh (model.py add_cloth_mesh):
+        one FEM triangle per face (mass from area*density lumped to
+        vertices), one bending hinge per interior edge."""
         start_vertex = len(self.particle_q)
-        mass = density * cell_x * cell_y * cell_z / 5.0 * 4.0 / ((dim_x) * (dim_y) * (dim_z)) \
-            if False else density * cell_x * cell_y * cell_z
+        start_tri = len(self.tri_indices)
+        tris = np.asarray(indices, dtype=np.int32).reshape(-1, 3)
+
+        for v in vertices:
+            world = np_quat_rotate(rot, np.asarray(v, dtype=np.float64) * scale)
+            self.add_particle(world + np.asarray(pos, dtype=np.float64), vel, 0.0)
+
+        for t in tris:
+            area = self.add_triangle(*(start_vertex + t))
+            # lump the face mass onto its vertices (model.py:1316-1325)
+            for vi in t:
+                self.particle_mass[start_vertex + int(vi)] += density * area / 3.0
+
+        self._add_adjacency_edges(self.tri_indices[start_tri:])
+
+    def add_soft_grid(self, pos, rot, vel, dim_x, dim_y, dim_z,
+                      cell_x, cell_y, cell_z, density,
+                      k_mu=1.0e3, k_lambda=1.0e3, k_damp=0.0,
+                      fix_left=False, fix_right=False, fix_top=False,
+                      fix_bottom=False):
+        """Regular hexahedral soft-body grid, 5 tets per cell with parity-
+        alternating splits + surface triangles (model.py add_soft_grid
+        semantics: each particle carries the full cell mass)."""
+        start_vertex = len(self.particle_q)
+        mass = cell_x * cell_y * cell_z * density
 
         for z in range(dim_z + 1):
             for y in range(dim_y + 1):
                 for x in range(dim_x + 1):
                     local = np.array([x * cell_x, y * cell_y, z * cell_z])
                     world = np_quat_rotate(rot, local) + np.asarray(pos, dtype=np.float64)
-                    m = 0.0 if (x == 0 and fix_left) else mass / 8.0
+                    m = mass
+                    if (fix_left and x == 0) or (fix_right and x == dim_x) or \
+                       (fix_top and y == dim_y) or (fix_bottom and y == 0):
+                        m = 0.0
                     self.add_particle(world, vel, m)
 
+        faces = {}
+
+        def add_face(i, j, k):
+            key = tuple(sorted((i, j, k)))
+            if key not in faces:
+                faces[key] = (i, j, k)
+            else:
+                del faces[key]
+
+        def add_tet(i, j, k, l):
+            self.add_tetrahedron(i, j, k, l, k_mu, k_lambda, k_damp)
+            add_face(i, k, j)
+            add_face(j, k, l)
+            add_face(i, j, l)
+            add_face(i, l, k)
+
         def grid_index(x, y, z):
-            return start_vertex + z * (dim_x + 1) * (dim_y + 1) + y * (dim_x + 1) + x
+            return start_vertex + (dim_x + 1) * (dim_y + 1) * z + (dim_x + 1) * y + x
 
         for z in range(dim_z):
             for y in range(dim_y):
                 for x in range(dim_x):
-                    v = [grid_index(x, y, z), grid_index(x + 1, y, z),
-                         grid_index(x + 1, y + 1, z), grid_index(x, y + 1, z),
-                         grid_index(x, y, z + 1), grid_index(x + 1, y, z + 1),
-                         grid_index(x + 1, y + 1, z + 1), grid_index(x, y + 1, z + 1)]
-                    if (x + y + z) % 2 == 0:
-                        tets = [(0, 1, 2, 5), (0, 2, 7, 5), (0, 2, 3, 7), (0, 5, 7, 4), (2, 7, 5, 6)]
+                    v0 = grid_index(x, y, z)
+                    v1 = grid_index(x + 1, y, z)
+                    v2 = grid_index(x + 1, y, z + 1)
+                    v3 = grid_index(x, y, z + 1)
+                    v4 = grid_index(x, y + 1, z)
+                    v5 = grid_index(x + 1, y + 1, z)
+                    v6 = grid_index(x + 1, y + 1, z + 1)
+                    v7 = grid_index(x, y + 1, z + 1)
+
+                    if (x & 1) ^ (y & 1) ^ (z & 1):
+                        add_tet(v0, v1, v4, v3)
+                        add_tet(v2, v3, v6, v1)
+                        add_tet(v5, v4, v1, v6)
+                        add_tet(v7, v6, v3, v4)
+                        add_tet(v4, v1, v6, v3)
                     else:
-                        tets = [(1, 3, 0, 4), (1, 2, 3, 6), (1, 6, 4, 5), (3, 6, 7, 4), (1, 3, 4, 6)]
-                    for t in tets:
-                        self.add_tetrahedron(v[t[0]], v[t[1]], v[t[2]], v[t[3]], k_mu, k_lambda, k_damp)
+                        add_tet(v1, v2, v5, v0)
+                        add_tet(v3, v0, v7, v2)
+                        add_tet(v4, v7, v0, v5)
+                        add_tet(v6, v5, v2, v7)
+                        add_tet(v5, v2, v7, v0)
+
+        # surface triangles for rendering/contacts
+        for v in faces.values():
+            self.add_triangle(v[0], v[1], v[2])
 
     # -- inertia helpers (model.py:1530-1617) --------------------------------
 
