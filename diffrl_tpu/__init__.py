@@ -10,6 +10,8 @@ jax.sharding meshes.
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
 
 # The reference engine is float32-end-to-end (adjoint.py:1985-1986 rejects
@@ -18,5 +20,18 @@ import jax as _jax
 # BPTT rollouts — force full f32 MXU passes (SURVEY.md §7 risks). The
 # network matmuls this also touches are tiny relative to sim cost.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Deep-articulation training steps compile for minutes; cache executables
+# across processes (the analog of the reference's dflex/kernels/adjoint.gen
+# build cache, adjoint.py:1813-1836). Disable with DIFFRL_COMPILATION_CACHE=0.
+if _os.environ.get("DIFFRL_COMPILATION_CACHE", "1") != "0":
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get(
+            "DIFFRL_COMPILATION_CACHE_DIR",
+            _os.path.expanduser("~/.cache/diffrl_tpu_xla"),
+        ),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 from . import ops
