@@ -161,40 +161,45 @@ class DiffEnv:
             )
             return s.joint_q, s.joint_qd
 
-        q, qd = jax.vmap(sim_one)(env_state.joint_q, env_state.joint_qd, joint_act, muscle_act)
+        with jax.named_scope("env_sim"):
+            q, qd = jax.vmap(sim_one)(
+                env_state.joint_q, env_state.joint_qd, joint_act, muscle_act
+            )
 
         progress = env_state.progress + 1
 
-        obs = jax.vmap(self.observations)(q, qd, actions)
-        rew = jax.vmap(self.reward)(obs, actions)
+        with jax.named_scope("env_obs_reward"):
+            obs = jax.vmap(self.observations)(q, qd, actions)
+            rew = jax.vmap(self.reward)(obs, actions)
 
-        done = progress > self.episode_length - 1
-        term = jax.vmap(self.termination)(obs)
-        if self.early_termination:
-            done = done | term
-        invalid = jax.vmap(self.invalid_mask)(obs, q, qd)
-        done = done | invalid
-        if self.zero_reward_on_invalid():
-            rew = jnp.where(invalid, 0.0, rew)
+            done = progress > self.episode_length - 1
+            term = jax.vmap(self.termination)(obs)
+            if self.early_termination:
+                done = done | term
+            invalid = jax.vmap(self.invalid_mask)(obs, q, qd)
+            done = done | invalid
+            if self.zero_reward_on_invalid():
+                rew = jnp.where(invalid, 0.0, rew)
 
-        # in-graph partial reset: fresh values carry no gradient to the past
-        key, sub = jax.random.split(env_state.key)
-        reset_keys = jax.random.split(sub, self.num_envs)
-        q0, qd0 = jax.vmap(self.initial_state)(reset_keys)
-        q0, qd0 = lax.stop_gradient((q0, qd0))
+        with jax.named_scope("env_reset"):
+            # in-graph partial reset: fresh values carry no gradient to the past
+            key, sub = jax.random.split(env_state.key)
+            reset_keys = jax.random.split(sub, self.num_envs)
+            q0, qd0 = jax.vmap(self.initial_state)(reset_keys)
+            q0, qd0 = lax.stop_gradient((q0, qd0))
 
-        d = done[:, None]
-        # sanitize sim output on the reset branch so NaNs cannot leak through
-        # the unselected side of where() into gradients
-        q_safe = jnp.where(d, jnp.nan_to_num(q, 0.0, 0.0, 0.0), q)
-        qd_safe = jnp.where(d, jnp.nan_to_num(qd, 0.0, 0.0, 0.0), qd)
-        q_new = jnp.where(d, q0, q_safe)
-        qd_new = jnp.where(d, qd0, qd_safe)
-        actions_new = jnp.where(d, 0.0, actions)
-        progress_new = jnp.where(done, 0, progress)
+            d = done[:, None]
+            # sanitize sim output on the reset branch so NaNs cannot leak
+            # through the unselected side of where() into gradients
+            q_safe = jnp.where(d, jnp.nan_to_num(q, 0.0, 0.0, 0.0), q)
+            qd_safe = jnp.where(d, jnp.nan_to_num(qd, 0.0, 0.0, 0.0), qd)
+            q_new = jnp.where(d, q0, q_safe)
+            qd_new = jnp.where(d, qd0, qd_safe)
+            actions_new = jnp.where(d, 0.0, actions)
+            progress_new = jnp.where(done, 0, progress)
 
-        obs_reset = jax.vmap(self.observations)(q_new, qd_new, actions_new)
-        obs_out = jnp.where(d, obs_reset, obs)
+            obs_reset = jax.vmap(self.observations)(q_new, qd_new, actions_new)
+            obs_out = jnp.where(d, obs_reset, obs)
 
         new_state = EnvState(
             joint_q=q_new,
