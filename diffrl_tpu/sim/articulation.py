@@ -580,10 +580,14 @@ def simulate(
     w.r.t. the cached factor follow the reference's frozen-L convention.
 
     Structured as scan-of-blocks so the compiled graph contains ONE block
-    body regardless of substep count. With ``remat`` the backward pass
-    recomputes each block instead of storing every substep's intermediates —
-    the jax.checkpoint replacement for the reference tape's store-everything
-    memory profile (SURVEY.md §5 long-context notes).
+    body regardless of substep count. With ``remat`` every substep is
+    individually ``jax.checkpoint``-ed: the reverse pass then stores only the
+    tiny carried joint state per substep and recomputes each substep fused
+    with its backward. Without this, the scan saves hundreds of small
+    [E, 3]/[E, 6] intermediates per substep — each tile-padded by TPU layout
+    to (8, 128) lanes — and the resulting HBM round-trip ran the backward at
+    ~10x forward cost (docs/PERF_NOTES.md backward characterization); the
+    per-substep policy replaces that traffic with ~2x recompute FLOPs.
     """
     if substeps % mass_matrix_freq != 0:
         raise ValueError("substeps must be a multiple of mass_matrix_freq")
@@ -593,22 +597,32 @@ def simulate(
     if joint_act is None:
         joint_act = jnp.zeros((model.dof_count,), dtype=jnp.float32)
 
-    def block(carry, _):
+    def refresh(carry):
         # first substep of the block refactorizes H
-        s, HL = coupled_substep(model, carry, joint_act, muscle_act, h)
+        return coupled_substep(model, carry, joint_act, muscle_act, h)
+
+    def inner_step(c, HL):
+        si, _ = coupled_substep(
+            model, c, joint_act, muscle_act, h, mass_cache=HL
+        )
+        return si
+
+    if remat:
+        # prevent_cse=False is safe (and faster) for scan bodies: the XLA
+        # while-loop boundary already prevents the remat-defeating CSE. The
+        # refresh substep runs outside the scan, so it keeps the barrier.
+        refresh = jax.checkpoint(refresh)
+        inner_step = jax.checkpoint(inner_step, prevent_cse=False)
+
+    def block(carry, _):
+        s, HL = refresh(carry)
 
         def inner(c, _):
-            si, _ = coupled_substep(
-                model, c, joint_act, muscle_act, h, mass_cache=HL
-            )
-            return si, None
+            return inner_step(c, HL), None
 
         if mass_matrix_freq > 1:
             s, _ = lax.scan(inner, s, None, length=mass_matrix_freq - 1)
         return s, None
-
-    if remat:
-        block = jax.checkpoint(block)
 
     if nblocks > 1:
         state, _ = lax.scan(block, state, None, length=nblocks)
