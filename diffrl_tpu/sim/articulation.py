@@ -372,7 +372,57 @@ def eval_mass_matrix(model: Model, S_s, I_s):
     return H
 
 
-def _factorize_mass_matrix(model: Model, S_s, I_s):
+def eval_mass_matrix_factored(model: Model, S_s, body_X_sm):
+    """H = J^T blockdiag(I_s) J without materializing I_s or J.
+
+    Identical values to ``eval_mass_matrix(model, S_s, eval_spatial_inertias
+    (model, body_X_sm))`` (up to float reassociation): with T = Ad(X_sm^-1),
+    H[d,e] = (T S_d)^T I_m (T S_e) summed over links where both dofs are
+    ancestors. The materialized path builds [E, L, 6, 6] / [E, L, 6, D]
+    tensors under vmap that TPU tiling pads to (8, 128) lanes — profiled as
+    the dominant cost of the mass-matrix refresh. Here every intermediate is
+    an [E]-leading vector with trailing dim <= 6 and the ancestor sparsity is
+    applied at trace time (no masking ops, no zero-column work).
+    """
+    from ..ops import transform_inverse
+
+    topo = model.topology
+    mask = np.asarray(topo.ancestor_dof_mask())
+    D = topo.dof_count
+    Hs = [[None] * D for _ in range(D)]
+    for l in range(topo.link_count):
+        dofs = [d for d in range(D) if mask[l, d]]
+        if not dofs:
+            continue
+        t_inv = transform_inverse(body_X_sm[l])
+        I3 = model.body_I_m[l][0:3, 0:3]
+        m = model.body_I_m[l][3, 3]
+        us = [spatial_transform_twist(t_inv, S_s[d]) for d in dofs]
+        vs = [
+            jnp.concatenate(
+                [jnp.einsum("ij,j->i", I3, u[0:3]), m * u[3:6]]
+            )
+            for u in us
+        ]
+        for a, d in enumerate(dofs):
+            for b in range(a, len(dofs)):
+                e = dofs[b]
+                val = jnp.sum(us[a] * vs[b])
+                Hs[d][e] = val if Hs[d][e] is None else Hs[d][e] + val
+    zero = jnp.zeros(())
+    rows = []
+    for i in range(D):
+        row = [
+            Hs[min(i, j)][max(i, j)]
+            if Hs[min(i, j)][max(i, j)] is not None
+            else zero
+            for j in range(D)
+        ]
+        rows.append(jnp.stack(row))
+    return jnp.stack(rows)
+
+
+def _factorize_mass_matrix(model: Model, S_s, body_X_sm):
     """H plus its frozen explicit inverse (H + armature regularization).
 
     The reference factorizes (H + diag(armature)) with a Cholesky whose
@@ -383,7 +433,7 @@ def _factorize_mass_matrix(model: Model, S_s, I_s):
     factorization; each substep's solve is then one MXU matvec. Gradients
     follow the same frozen-factor convention (solve_frozen_inv).
     """
-    H = eval_mass_matrix(model, S_s, I_s)
+    H = eval_mass_matrix_factored(model, S_s, body_X_sm)
     A = lax.stop_gradient(H) + jnp.diag(model.joint_armature)
     return H, chol_inverse(A)
 
@@ -482,8 +532,7 @@ def articulation_substep(
     tau = eval_tau(model, joint_q, joint_qd, joint_act, S_s, body_f)
 
     if mass_cache is None:
-        I_s = eval_spatial_inertias(model, body_X_sm)
-        H, Hinv = _factorize_mass_matrix(model, S_s, I_s)
+        H, Hinv = _factorize_mass_matrix(model, S_s, body_X_sm)
     else:
         H, Hinv = mass_cache
 
@@ -534,9 +583,7 @@ def coupled_substep(model: Model, state: State, joint_act, muscle_act, dt,
 
         tau = eval_tau(model, state.joint_q, state.joint_qd, joint_act, S_s, body_f)
         if mass_cache is None:
-            HL = _factorize_mass_matrix(
-                model, S_s, eval_spatial_inertias(model, body_X_sm)
-            )
+            HL = _factorize_mass_matrix(model, S_s, body_X_sm)
         else:
             HL = mass_cache
         qdd = solve_frozen_inv(HL[0], HL[1], tau)

@@ -202,6 +202,49 @@ class TestBatching:
                 float(batched[i]), float(rollout(q0s[i])), rtol=1e-6
             )
 
+    def test_mass_matrix_factored_matches_materialized(self):
+        # factored H (no I_s/J materialization) must equal the dense path
+        from diffrl_tpu.sim.articulation import (
+            eval_fk,
+            eval_id,
+            eval_mass_matrix,
+            eval_mass_matrix_factored,
+            eval_spatial_inertias,
+        )
+
+        b = ModelBuilder()
+        b.add_articulation()
+        base = b.add_link(
+            -1, sim.model.np_transform_identity(), (0.0, 0.0, 0.0), sim.JOINT_FREE
+        )
+        b.add_shape_sphere(base, radius=0.3, density=1000.0)
+        l1 = b.add_link(
+            base, sim.model.np_transform((0.4, 0.0, 0.0), (0.0, 0.0, 0.0, 1.0)), (0.0, 0.0, 1.0),
+            sim.JOINT_REVOLUTE,
+        )
+        b.add_shape_capsule(l1, pos=(0.3, 0.0, 0.0), radius=0.05, half_width=0.3,
+                            density=1000.0)
+        l2 = b.add_link(
+            l1, sim.model.np_transform((0.6, 0.0, 0.0), (0.0, 0.0, 0.0, 1.0)), (0.0, 1.0, 0.0),
+            sim.JOINT_REVOLUTE,
+        )
+        b.add_shape_capsule(l2, pos=(0.3, 0.0, 0.0), radius=0.05, half_width=0.3,
+                            density=1000.0)
+        model = b.finalize()
+
+        key = jax.random.PRNGKey(3)
+        q = model.joint_q_init + 0.3 * jax.random.normal(key, (model.coord_count,))
+        q = q.at[3:7].set(q[3:7] / jnp.linalg.norm(q[3:7]))
+        qd = 0.5 * jax.random.normal(jax.random.PRNGKey(4), (model.dof_count,))
+
+        X_sc, X_sm = eval_fk(model, q)
+        S_s, _, _ = eval_id(model, q, qd, X_sc, X_sm)
+        dense = eval_mass_matrix(model, S_s, eval_spatial_inertias(model, X_sm))
+        factored = eval_mass_matrix_factored(model, S_s, X_sm)
+        np.testing.assert_allclose(
+            np.asarray(factored), np.asarray(dense), rtol=1e-5, atol=1e-5
+        )
+
     def test_mass_matrix_caching_close_to_exact(self):
         model = build_pendulum()
         s0 = State(joint_q=jnp.array([0.8]), joint_qd=jnp.array([0.2]))
