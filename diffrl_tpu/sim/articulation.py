@@ -648,7 +648,13 @@ def simulate(
         # first substep of the block refactorizes H
         return coupled_substep(model, carry, joint_act, muscle_act, h)
 
-    def inner_step(c, HL):
+    def inner_step(c, hl_flat):
+        # The cache crosses the substep scan as FLAT [D*D] vectors: a
+        # batched [E, D, D] scan residual/cotangent pads to [E, 16, 128]
+        # tiles (~8x traffic for D~14..27); flat [E, D*D] pads only the last
+        # dim. Reshape inside the checkpointed region is fusion-local.
+        D = model.dof_count
+        HL = (hl_flat[0].reshape(D, D), hl_flat[1].reshape(D, D))
         si, _ = coupled_substep(
             model, c, joint_act, muscle_act, h, mass_cache=HL
         )
@@ -663,9 +669,10 @@ def simulate(
 
     def block(carry, _):
         s, HL = refresh(carry)
+        hl_flat = tuple(x.reshape(-1) for x in HL)
 
         def inner(c, _):
-            return inner_step(c, HL), None
+            return inner_step(c, hl_flat), None
 
         if mass_matrix_freq > 1:
             s, _ = lax.scan(inner, s, None, length=mass_matrix_freq - 1)

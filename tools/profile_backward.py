@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--trace", action="store_true")
     ap.add_argument("--env", default="Ant")
+    ap.add_argument("--mm-freq", type=int, default=16)
     args = ap.parse_args()
 
     env = envs.make(
@@ -37,7 +38,7 @@ def main():
         seed=0,
         stochastic_init=True,
         episode_length=1000,
-        MM_caching_frequency=16,
+        MM_caching_frequency=args.mm_freq,
     )
     state0 = env.reset(jax.random.PRNGKey(0))
     H = args.steps
