@@ -202,6 +202,45 @@ class TestBatching:
                 float(batched[i]), float(rollout(q0s[i])), rtol=1e-6
             )
 
+    def test_build_tree_chain_fk(self):
+        # procedural chain builder (reference load_utils.py:232-285):
+        # at q=0, angle=0, each link frame sits 2*length along +x
+        from diffrl_tpu.sim.articulation import eval_fk
+        from diffrl_tpu.sim.importers.procedural import build_tree
+
+        b = ModelBuilder()
+        b.add_articulation()
+        build_tree(b, angle=0.0, max_depth=4, length=0.25)
+        model = b.finalize()
+        assert model.link_count == 4 and model.dof_count == 4
+
+        X_sc, _ = eval_fk(model, jnp.zeros(model.coord_count))
+        np.testing.assert_allclose(
+            np.asarray(X_sc[:, 0]), [0.5, 1.0, 1.5, 2.0], atol=1e-6
+        )
+
+        # and it simulates: the 4-link chain stays finite; a single-link
+        # tree (a pendulum) must fall (multi-link roots can transiently
+        # swing positive as the chain folds)
+        m = dataclasses.replace(
+            model, ground=False, gravity=jnp.array([0.0, -9.81, 0.0])
+        )
+        s = State(joint_q=jnp.zeros(4), joint_qd=jnp.zeros(4))
+        for _ in range(10):
+            s = sim.simulate(m, s, dt=1.0 / 60.0, substeps=4)
+        assert np.all(np.isfinite(np.asarray(s.joint_q)))
+
+        b1 = ModelBuilder()
+        b1.add_articulation()
+        build_tree(b1, angle=0.0, max_depth=1, length=0.25)
+        m1 = dataclasses.replace(
+            b1.finalize(), ground=False, gravity=jnp.array([0.0, -9.81, 0.0])
+        )
+        s1 = State(joint_q=jnp.zeros(1), joint_qd=jnp.zeros(1))
+        for _ in range(10):
+            s1 = sim.simulate(m1, s1, dt=1.0 / 60.0, substeps=4)
+        assert float(s1.joint_q[0]) < -0.01
+
     def test_mass_matrix_factored_matches_materialized(self):
         # factored H (no I_s/J materialization) must equal the dense path
         from diffrl_tpu.sim.articulation import (
