@@ -237,6 +237,8 @@ class BPTT:
 
     def train(self):
         self.start_time = time.time()
+        self._best_snapshot = None
+        self._last_best_write = 0.0
         tr = self.time_report
         for t in ("algorithm", "actor training"):
             tr.add_timer(t)
@@ -256,11 +258,14 @@ class BPTT:
             self.env_state = aux["env_state"]
             self.obs_rms = aux["obs_rms"]
             self.episode_trackers = aux["trackers"]
-            self.actor_loss = float(actor_loss)
             self.step_count += self.steps_num * self.num_envs
             self.iter_count += 1
 
-            outs = aux["outs"]
+            # one batched device->host transfer (each sync pays tunnel RTT)
+            outs, actor_loss, gnorm = jax.device_get(
+                (aux["outs"], actor_loss, gnorm)
+            )
+            self.actor_loss = float(actor_loss)
             done_np = np.asarray(outs["done"]).reshape(-1)
             if done_np.any():
                 sel = done_np.astype(bool)
@@ -281,9 +286,14 @@ class BPTT:
                 mean_policy_discounted_loss = self.episode_discounted_loss_meter.get_mean()
                 mean_episode_length = self.episode_length_meter.get_mean()
                 if mean_policy_loss < self.best_policy_loss:
-                    print_info(f"save best policy with loss {mean_policy_loss:.2f}")
-                    self.save()
+                    # device-side snapshot is free; throttle disk writes
+                    self._best_snapshot = self._snapshot()
                     self.best_policy_loss = mean_policy_loss
+                    now = time.time()
+                    if now - self._last_best_write > 60.0:
+                        print_info(f"save best policy with loss {mean_policy_loss:.2f}")
+                        self.save(snapshot=self._best_snapshot)
+                        self._last_best_write = now
             else:
                 mean_policy_loss = np.inf
                 mean_policy_discounted_loss = np.inf
@@ -309,6 +319,8 @@ class BPTT:
 
         tr.end_timer("algorithm")
         tr.report()
+        if self._best_snapshot is not None:
+            self.save("best_policy", snapshot=self._best_snapshot)
         self.save("final_policy")
         np.save(os.path.join(self.log_dir, "episode_loss_his.npy"),
                 np.array(self.episode_loss_his))
@@ -380,15 +392,18 @@ class BPTT:
 
     # ---------------------------------------------------------- checkpoints
 
-    def save(self, filename=None):
-        filename = filename or "best_policy"
-        state = {
-            "actor": jax.tree.map(np.asarray, self.actor_params),
-            "obs_rms": jax.tree.map(np.asarray, self.obs_rms) if self.obs_rms else None,
-            "actor_opt_state": jax.tree.map(np.asarray, self.actor_opt_state),
+    def _snapshot(self):
+        return {
+            "actor": self.actor_params,
+            "obs_rms": self.obs_rms,
+            "actor_opt_state": self.actor_opt_state,
             "iter_count": self.iter_count,
             "step_count": self.step_count,
         }
+
+    def save(self, filename=None, snapshot=None):
+        filename = filename or "best_policy"
+        state = jax.device_get(snapshot if snapshot is not None else self._snapshot())
         with open(os.path.join(self.log_dir, f"{filename}.pkl"), "wb") as f:
             pickle.dump(state, f)
 

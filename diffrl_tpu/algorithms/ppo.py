@@ -333,6 +333,8 @@ class PPO:
 
     def train(self):
         self.start_time = time.time()
+        self._best_snapshot = None
+        self._last_best_write = 0.0
         tr = self.time_report
         tr.add_timer("algorithm")
         tr.start_timer("algorithm")
@@ -351,6 +353,8 @@ class PPO:
             self.iter_count += 1
             self.step_count += self.steps_num * self.num_envs
 
+            # one batched device->host transfer (each sync pays tunnel RTT)
+            aux = jax.device_get(aux)
             done_np = np.asarray(aux["done"]).reshape(-1).astype(bool)
             if done_np.any():
                 ep_rews = np.asarray(aux["ep_rew_done"]).reshape(-1)[done_np]
@@ -364,7 +368,11 @@ class PPO:
 
             if mean_rew > self.best_rew and self.episode_rew_meter.current_size > 0:
                 self.best_rew = mean_rew
-                self.save()
+                self._best_snapshot = self._snapshot()
+                now = time.time()
+                if now - self._last_best_write > 60.0:
+                    self.save(snapshot=self._best_snapshot)
+                    self._last_best_write = now
 
             self._log_scalars(
                 rewards=mean_rew, episode_lengths=mean_len,
@@ -383,6 +391,8 @@ class PPO:
 
         tr.end_timer("algorithm")
         tr.report()
+        if self._best_snapshot is not None:
+            self.save("best_policy", snapshot=self._best_snapshot)
         self.save("final_policy")
 
     # ----------------------------------------------------------- evaluation
@@ -429,17 +439,21 @@ class PPO:
 
     # ---------------------------------------------------------- checkpoints
 
-    def save(self, filename=None):
-        filename = filename or "best_policy"
-        state = {
-            "net": jax.tree.map(np.asarray, self.net_params),
-            "obs_rms": jax.tree.map(np.asarray, self.obs_rms) if self.obs_rms else None,
-            "val_rms": jax.tree.map(np.asarray, self.val_rms) if self.val_rms else None,
-            "opt_state": jax.tree.map(np.asarray, self.opt_state),
-            "cur_lr": float(self.cur_lr),
+    def _snapshot(self):
+        return {
+            "net": self.net_params,
+            "obs_rms": self.obs_rms,
+            "val_rms": self.val_rms,
+            "opt_state": self.opt_state,
+            "cur_lr": self.cur_lr,
             "iter_count": self.iter_count,
             "step_count": self.step_count,
         }
+
+    def save(self, filename=None, snapshot=None):
+        filename = filename or "best_policy"
+        state = jax.device_get(snapshot if snapshot is not None else self._snapshot())
+        state["cur_lr"] = float(state["cur_lr"])
         with open(os.path.join(self.log_dir, f"{filename}.pkl"), "wb") as f:
             pickle.dump(state, f)
 

@@ -299,6 +299,8 @@ class SAC:
 
     def train(self):
         self.start_time = time.time()
+        self._best_snapshot = None
+        self._last_best_write = 0.0
         tr = self.time_report
         tr.add_timer("algorithm")
         tr.start_timer("algorithm")
@@ -315,6 +317,8 @@ class SAC:
             self.iter_count += 1
             self.step_count += self.steps_per_epoch * self.num_envs
 
+            # one batched device->host transfer (each sync pays tunnel RTT)
+            outs = jax.device_get(outs)
             done_np = np.asarray(outs["done"]).reshape(-1).astype(bool)
             if done_np.any():
                 ep_rews = np.asarray(outs["ep_rew_done"]).reshape(-1)[done_np]
@@ -328,7 +332,11 @@ class SAC:
 
             if mean_rew > self.best_rew and self.episode_rew_meter.current_size > 0:
                 self.best_rew = mean_rew
-                self.save()
+                self._best_snapshot = self._snapshot()
+                now = time.time()
+                if now - self._last_best_write > 60.0:
+                    self.save(snapshot=self._best_snapshot)
+                    self._last_best_write = now
 
             self._log_scalars(
                 rewards=mean_rew, episode_lengths=mean_len,
@@ -345,6 +353,8 @@ class SAC:
 
         tr.end_timer("algorithm")
         tr.report()
+        if self._best_snapshot is not None:
+            self.save("best_policy", snapshot=self._best_snapshot)
         self.save("final_policy")
 
     # ----------------------------------------------------------- evaluation
@@ -393,17 +403,20 @@ class SAC:
 
     # ---------------------------------------------------------- checkpoints
 
-    def save(self, filename=None):
-        filename = filename or "best_policy"
-        state = {
-            "actor": jax.tree.map(np.asarray, self.actor_params),
-            "critic": jax.tree.map(np.asarray, self.critic_params),
-            "target_critic": jax.tree.map(np.asarray, self.target_critic_params),
-            "log_alpha": np.asarray(self.log_alpha),
-            "obs_rms": jax.tree.map(np.asarray, self.obs_rms) if self.obs_rms else None,
+    def _snapshot(self):
+        return {
+            "actor": self.actor_params,
+            "critic": self.critic_params,
+            "target_critic": self.target_critic_params,
+            "log_alpha": self.log_alpha,
+            "obs_rms": self.obs_rms,
             "iter_count": self.iter_count,
             "step_count": self.step_count,
         }
+
+    def save(self, filename=None, snapshot=None):
+        filename = filename or "best_policy"
+        state = jax.device_get(snapshot if snapshot is not None else self._snapshot())
         with open(os.path.join(self.log_dir, f"{filename}.pkl"), "wb") as f:
             pickle.dump(state, f)
 

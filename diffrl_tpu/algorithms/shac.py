@@ -424,6 +424,8 @@ class SHAC:
 
     def train(self):
         self.start_time = time.time()
+        self._best_snapshot = None
+        self._last_best_write = 0.0
         tr = self.time_report
         for t in ("algorithm", "actor training"):
             tr.add_timer(t)
@@ -445,6 +447,10 @@ class SHAC:
             )
             tr.end_timer("actor training")
 
+            # ONE batched device->host transfer per epoch: piecemeal
+            # float()/np.asarray() syncs are round-trips each (the TPU here
+            # is reached through a tunnel, so every sync pays network RTT)
+            stats = jax.device_get(stats)
             outs = stats
             gnorm_before = stats["gnorm_before"]
             gnorm_after = stats["gnorm_after"]
@@ -474,9 +480,17 @@ class SHAC:
                 mean_policy_discounted_loss = self.episode_discounted_loss_meter.get_mean()
                 mean_episode_length = self.episode_length_meter.get_mean()
                 if mean_policy_loss < self.best_policy_loss:
-                    print_info(f"save best policy with loss {mean_policy_loss:.2f}")
-                    self.save()
+                    # snapshot is free (immutable device arrays); the disk
+                    # write is throttled — early training improves the best
+                    # loss nearly every epoch and a pickle per epoch of
+                    # tunneled device fetches dominated wall-clock
+                    self._best_snapshot = self._snapshot()
                     self.best_policy_loss = mean_policy_loss
+                    now = time.time()
+                    if now - self._last_best_write > 60.0:
+                        print_info(f"save best policy with loss {mean_policy_loss:.2f}")
+                        self.save(snapshot=self._best_snapshot)
+                        self._last_best_write = now
             else:
                 mean_policy_loss = np.inf
                 mean_policy_discounted_loss = np.inf
@@ -507,6 +521,8 @@ class SHAC:
 
         tr.end_timer("algorithm")
         tr.report()
+        if self._best_snapshot is not None:
+            self.save("best_policy", snapshot=self._best_snapshot)
         self.save("final_policy")
         np.save(os.path.join(self.log_dir, "episode_loss_his.npy"),
                 np.array(self.episode_loss_his))
@@ -581,21 +597,27 @@ class SHAC:
 
     # ---------------------------------------------------------- checkpoints
 
-    def save(self, filename=None):
-        filename = filename or "best_policy"
-        state = {
-            "actor": jax.tree.map(np.asarray, self.actor_params),
-            "critic": jax.tree.map(np.asarray, self.critic_params),
-            "target_critic": jax.tree.map(np.asarray, self.target_critic_params),
-            "obs_rms": jax.tree.map(np.asarray, self.obs_rms) if self.obs_rms else None,
-            "ret_rms": jax.tree.map(np.asarray, self.ret_rms) if self.ret_rms else None,
+    def _snapshot(self):
+        """Zero-cost training-state snapshot: jnp arrays are immutable, so
+        holding references freezes the state without any device work."""
+        return {
+            "actor": self.actor_params,
+            "critic": self.critic_params,
+            "target_critic": self.target_critic_params,
+            "obs_rms": self.obs_rms,
+            "ret_rms": self.ret_rms,
             # full optimizer state => exact training resume (improves on the
             # reference, which cannot resume optimizers — SURVEY.md §5)
-            "actor_opt_state": jax.tree.map(np.asarray, self.actor_opt_state),
-            "critic_opt_state": jax.tree.map(np.asarray, self.critic_opt_state),
+            "actor_opt_state": self.actor_opt_state,
+            "critic_opt_state": self.critic_opt_state,
             "iter_count": self.iter_count,
             "step_count": self.step_count,
         }
+
+    def save(self, filename=None, snapshot=None):
+        filename = filename or "best_policy"
+        # one batched device->host fetch (vs a transfer per leaf)
+        state = jax.device_get(snapshot if snapshot is not None else self._snapshot())
         with open(os.path.join(self.log_dir, f"{filename}.pkl"), "wb") as f:
             pickle.dump(state, f)
 

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--trace", action="store_true")
     ap.add_argument("--env", default="Ant")
     ap.add_argument("--mm-freq", type=int, default=16)
+    ap.add_argument("--ckpt-step", action="store_true",
+                    help="jax.checkpoint the whole env.step in the window")
     args = ap.parse_args()
 
     env = envs.make(
@@ -45,10 +47,15 @@ def main():
 
     # constant per-step action parameterization: grads flow through every step
     def window_loss(actions_seq, state):
-        def step_fn(carry, a):
-            st = carry
+        def env_step(st, a):
             st, obs, rew, done, _ = env.step(st, a)
             return st, rew
+
+        if args.ckpt_step:
+            env_step = jax.checkpoint(env_step, prevent_cse=False)
+
+        def step_fn(carry, a):
+            return env_step(carry, a)
 
         state, rews = jax.lax.scan(step_fn, state, actions_seq)
         return -jnp.mean(jnp.sum(rews, axis=0)), state
