@@ -68,6 +68,7 @@ class DiffEnv:
         no_grad: bool = False,  # accepted for API parity; unused (grad is free)
         render: bool = False,
         device=None,
+        remat_granularity: int = 1,
     ):
         self.num_envs = num_envs
         self.seed = seed
@@ -76,6 +77,7 @@ class DiffEnv:
         self.mm_caching_frequency = MM_caching_frequency
         self.early_termination = early_termination
         self.visualize = render
+        self.remat_granularity = remat_granularity
 
         self.model: Model = self.build_model()
 
@@ -158,6 +160,7 @@ class DiffEnv:
                 dt=self.dt,
                 substeps=self.sim_substeps,
                 mass_matrix_freq=self.mm_caching_frequency,
+                remat_granularity=self.remat_granularity,
             )
             return s.joint_q, s.joint_qd
 

@@ -617,6 +617,7 @@ def simulate(
     substeps: int = 16,
     mass_matrix_freq: int = 1,
     remat: bool = True,
+    remat_granularity: int = 1,
 ) -> State:
     """Advance one env step = `substeps` substeps of size dt/substeps.
 
@@ -648,17 +649,24 @@ def simulate(
         # first substep of the block refactorizes H
         return coupled_substep(model, carry, joint_act, muscle_act, h)
 
+    g = max(1, int(remat_granularity))
+
     def inner_step(c, hl_flat):
         # The cache crosses the substep scan as FLAT [D*D] vectors: a
         # batched [E, D, D] scan residual/cotangent pads to [E, 16, 128]
         # tiles (~8x traffic for D~14..27); flat [E, D*D] pads only the last
         # dim. Reshape inside the checkpointed region is fusion-local.
+        # remat_granularity > 1 groups that many substeps into one
+        # checkpointed region: fewer reverse-scan iterations (amortizing
+        # per-iteration overhead) at the cost of proportionally larger
+        # rematerialized regions.
         D = model.dof_count
         HL = (hl_flat[0].reshape(D, D), hl_flat[1].reshape(D, D))
-        si, _ = coupled_substep(
-            model, c, joint_act, muscle_act, h, mass_cache=HL
-        )
-        return si
+        for _ in range(g):
+            c, _ = coupled_substep(
+                model, c, joint_act, muscle_act, h, mass_cache=HL
+            )
+        return c
 
     if remat:
         # prevent_cse=False is safe (and faster) for scan bodies: the XLA
@@ -674,8 +682,16 @@ def simulate(
         def inner(c, _):
             return inner_step(c, hl_flat), None
 
-        if mass_matrix_freq > 1:
-            s, _ = lax.scan(inner, s, None, length=mass_matrix_freq - 1)
+        n_inner = mass_matrix_freq - 1
+        if n_inner > 0:
+            if n_inner % g:
+                raise ValueError(
+                    "mass_matrix_freq - 1 must be divisible by remat_granularity"
+                )
+            if n_inner // g > 1:
+                s, _ = lax.scan(inner, s, None, length=n_inner // g)
+            else:
+                s, _ = inner(s, None)
         return s, None
 
     if nblocks > 1:

@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--mm-freq", type=int, default=16)
     ap.add_argument("--ckpt-step", action="store_true",
                     help="jax.checkpoint the whole env.step in the window")
+    ap.add_argument("--granularity", type=int, default=1,
+                    help="substeps per checkpointed region in the sim scan")
     args = ap.parse_args()
 
     env = envs.make(
@@ -41,6 +43,7 @@ def main():
         stochastic_init=True,
         episode_length=1000,
         MM_caching_frequency=args.mm_freq,
+        remat_granularity=args.granularity,
     )
     state0 = env.reset(jax.random.PRNGKey(0))
     H = args.steps
