@@ -284,6 +284,33 @@ class TestBatching:
             np.asarray(factored), np.asarray(dense), rtol=1e-5, atol=1e-5
         )
 
+    def test_remat_granularity_invariant(self):
+        # grouping substeps into larger checkpointed regions must not
+        # change values or gradients (it only restructures the remat)
+        model = build_pendulum()
+        s0 = State(joint_q=jnp.array([0.8]), joint_qd=jnp.array([0.2]))
+
+        def run(gran):
+            return sim.simulate(
+                model, s0, dt=1.0 / 60.0, substeps=16,
+                mass_matrix_freq=16, remat_granularity=gran,
+            ).joint_q
+
+        np.testing.assert_array_equal(np.asarray(run(1)), np.asarray(run(3)))
+
+        def g(gran):
+            def loss(q):
+                return sim.simulate(
+                    model, State(joint_q=q, joint_qd=jnp.array([0.2])),
+                    dt=1.0 / 60.0, substeps=16, mass_matrix_freq=16,
+                    remat_granularity=gran,
+                ).joint_q[0]
+            return jax.grad(loss)(jnp.array([0.8]))
+
+        np.testing.assert_allclose(
+            np.asarray(g(1)), np.asarray(g(5)), rtol=1e-6
+        )
+
     def test_mass_matrix_caching_close_to_exact(self):
         model = build_pendulum()
         s0 = State(joint_q=jnp.array([0.8]), joint_qd=jnp.array([0.2]))
