@@ -115,6 +115,12 @@ class PPO:
             ep_len=jnp.zeros(self.num_envs, dtype=jnp.int32),
         )
 
+        # reference `multi_gpu: True` parity (cfg/ppo/ant.yaml:45 engages
+        # Horovod; here the env axis shards over a data mesh instead)
+        self.mesh = None
+        if config.get("multi_gpu", False):
+            self.shard_over_mesh()
+
         self.iter_count = 0
         self.step_count = 0
         self.episode_rew_meter = AverageMeter(1, 100)
@@ -125,6 +131,23 @@ class PPO:
         self.writer = TBWriter(os.path.join(self.log_dir, "log"))
 
         self._build_jitted_fns()
+
+    def shard_over_mesh(self, num_devices=None):
+        """Shard the env axis over a ``data`` mesh; replicate learner state
+        (TPU-native replacement for the Horovod DistributedOptimizer)."""
+        from ..parallel import mesh as mesh_lib
+
+        self.mesh = mesh_lib.make_data_mesh(num_devices)
+        if self.num_envs % self.mesh.size:
+            raise ValueError(
+                f"num_envs={self.num_envs} not divisible by mesh size {self.mesh.size}"
+            )
+        self.env_state = mesh_lib.shard_env_axis(self.mesh, self.env_state)
+        self.episode_trackers = mesh_lib.shard_env_axis(self.mesh, self.episode_trackers)
+        for attr in ("net_params", "opt_state", "obs_rms", "val_rms"):
+            v = getattr(self, attr)
+            if v is not None:
+                setattr(self, attr, mesh_lib.replicate(self.mesh, v))
 
     # ------------------------------------------------------------------ jit
 

@@ -132,6 +132,13 @@ class SHAC:
             ret=jnp.zeros(self.num_envs),
         )
 
+        # multi-device: reference `multi_gpu` flag parity (the reference
+        # engages Horovod allreduce, cfg/ppo/ant.yaml:45 + hvd_wrapper.py;
+        # here envs shard over a data mesh and XLA inserts the collectives)
+        self.mesh = None
+        if config.get("multi_gpu", False):
+            self.shard_over_mesh()
+
         # logging / meters
         self.iter_count = 0
         self.step_count = 0
@@ -149,6 +156,29 @@ class SHAC:
         self.writer = TBWriter(os.path.join(self.log_dir, "log"))
 
         self._build_jitted_fns()
+
+    def shard_over_mesh(self, num_devices=None):
+        """Shard the env axis over a ``data`` mesh; replicate learner state.
+
+        The jitted epoch's loss/grad means then lower to psums over ICI —
+        the TPU-native replacement for the reference's Horovod
+        DistributedOptimizer. For multi-host pods call
+        ``parallel.mesh.init_distributed()`` before constructing the trainer.
+        """
+        from ..parallel import mesh as mesh_lib
+
+        self.mesh = mesh_lib.make_data_mesh(num_devices)
+        if self.num_envs % self.mesh.size:
+            raise ValueError(
+                f"num_envs={self.num_envs} not divisible by mesh size {self.mesh.size}"
+            )
+        self.env_state = mesh_lib.shard_env_axis(self.mesh, self.env_state)
+        self.episode_trackers = mesh_lib.shard_env_axis(self.mesh, self.episode_trackers)
+        for attr in ("actor_params", "critic_params", "target_critic_params",
+                     "actor_opt_state", "critic_opt_state", "obs_rms", "ret_rms"):
+            v = getattr(self, attr)
+            if v is not None:
+                setattr(self, attr, mesh_lib.replicate(self.mesh, v))
 
     # ------------------------------------------------------------------ jit
 

@@ -35,6 +35,48 @@ def test_sharded_shac_training_step():
     ge.dryrun_multichip(8)
 
 
+def test_multi_gpu_flag_trains_sharded_epoch():
+    """The reference `multi_gpu` config flag, TPU-style: envs shard over
+    the mesh and one full train_epoch executes with finite outputs."""
+    from diffrl_tpu.algorithms.shac import SHAC
+
+    cfg = {
+        "params": {
+            "diff_env": {
+                "name": "CartPoleSwingUpEnv",
+                "stochastic_env": True,
+                "episode_length": 16,
+                "MM_caching_frequency": 4,
+            },
+            "network": {
+                "actor": "ActorStochasticMLP",
+                "actor_mlp": {"units": [16, 16], "activation": "elu"},
+                "critic_mlp": {"units": [16, 16], "activation": "elu"},
+            },
+            "config": {
+                "name": "multigpu_test",
+                "num_actors": 16,
+                "steps_num": 4,
+                "max_epochs": 1,
+                "actor_learning_rate": 1e-3,
+                "critic_learning_rate": 1e-3,
+                "critic_iterations": 2,
+                "num_batch": 2,
+                "obs_rms": True,
+                "critic_method": "td-lambda",
+                "save_interval": 0,
+                "multi_gpu": True,
+            },
+            "general": {"seed": 0, "logdir": "/tmp/diffrl_multigpu_test"},
+        }
+    }
+    shac = SHAC(cfg)
+    assert shac.mesh is not None and shac.mesh.size == 8
+    assert shac.env_state.joint_q.sharding.num_devices == 8
+    shac.train()
+    assert np.isfinite(shac.actor_loss) and np.isfinite(shac.value_loss)
+
+
 def test_cross_device_rms_reduction():
     """RunningMeanStd moments agree whether computed sharded or locally."""
     from diffrl_tpu.utils import RunningMeanStd
