@@ -363,6 +363,11 @@ class Model:
     enable_tri_collisions: bool = static_field(default=False)
     # XPBD constraint relaxation (model.relaxation, sim.py:2983)
     relaxation: float = static_field(default=1.0)
+    # XPBD spring compliance alpha = 1/(ke dt^2) in the constraint
+    # denominator. The reference computes alpha but ships it commented out
+    # of the denominator (sim.py:2661-2663) — default False matches that;
+    # True gives true XPBD stiffness-consistent behavior.
+    xpbd_compliance: bool = static_field(default=False)
 
     ground: bool = static_field(default=True)
 

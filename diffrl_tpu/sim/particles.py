@@ -654,7 +654,12 @@ def integrate_particles(x, v, f, inv_mass, gravity, dt):
 
 
 def solve_springs(model, x, v, inv_mass, dt):
-    """Spring distance constraint deltas (solve_springs, sim.py:2616-2676)."""
+    """Spring distance constraint deltas (solve_springs, sim.py:2616-2676).
+
+    With ``model.xpbd_compliance`` the denominator gains the XPBD
+    compliance term alpha = 1/(ke dt^2); the reference computes alpha but
+    keeps it commented out of the denominator (sim.py:2661-2663), so the
+    default (False) reproduces its shipped behavior."""
     P = x.shape[0]
     i = model.spring_indices[:, 0]
     j = model.spring_indices[:, 1]
@@ -667,6 +672,9 @@ def solve_springs(model, x, v, inv_mass, dt):
     wi = inv_mass[i]
     wj = inv_mass[j]
     denom = wi + wj
+    if model.xpbd_compliance and model.spring_stiffness is not None:
+        alpha = 1.0 / jnp.maximum(model.spring_stiffness * dt * dt, 1e-12)
+        denom = denom + alpha
     multiplier = c / jnp.where(denom > 0.0, denom, 1.0)
     xd = dir * multiplier[:, None]
 

@@ -289,6 +289,32 @@ def test_xpbd_spring_pair():
     assert 0.08 < d < 0.12  # constraint holds the 0.1 rest length
 
 
+def test_xpbd_compliance_softens_spring():
+    """With the XPBD compliance term alpha = 1/(ke dt^2) enabled (the
+    reference ships it commented out, sim.py:2661-2663), a SOFT spring
+    under gravity sags more than the rigid-constraint default, and a very
+    stiff spring converges to the same answer."""
+    def run(ke, compliance):
+        b = ModelBuilder()
+        b.add_particle((0.0, 1.0, 0.0), (0.0, 0.0, 0.0), 0.0)   # pinned
+        b.add_particle((0.0, 0.9, 0.0), (0.0, 0.0, 0.0), 1.0)   # hanging
+        b.add_spring(0, 1, ke=ke, kd=1.0, control=0.0)
+        model = dataclasses.replace(
+            b.finalize(), ground=False, xpbd_compliance=compliance
+        )
+        state = run_steps(model, model.state(), 120, substeps=8, xpbd=True)
+        q = np.asarray(state.particle_q)
+        assert np.all(np.isfinite(q))
+        return np.linalg.norm(q[1] - q[0])
+
+    # soft spring: compliance lets it stretch under gravity
+    stretch_soft = run(2.0e2, True)
+    stretch_rigid = run(2.0e2, False)
+    assert stretch_soft > stretch_rigid + 0.005, (stretch_soft, stretch_rigid)
+    # stiff spring: compliance is negligible
+    np.testing.assert_allclose(run(1.0e6, True), run(1.0e6, False), atol=1e-3)
+
+
 def test_semi_implicit_integrator_class_api():
     b = ModelBuilder()
     b.add_particle((0.0, 1.0, 0.0), (0.0, 0.0, 0.0), 1.0)
