@@ -661,7 +661,10 @@ def simulate(
         # per-iteration overhead) at the cost of proportionally larger
         # rematerialized regions.
         D = model.dof_count
-        HL = (hl_flat[0].reshape(D, D), hl_flat[1].reshape(D, D))
+        HL = (
+            None if hl_flat is None
+            else (hl_flat[0].reshape(D, D), hl_flat[1].reshape(D, D))
+        )
         for _ in range(g):
             c, _ = coupled_substep(
                 model, c, joint_act, muscle_act, h, mass_cache=HL
@@ -677,7 +680,7 @@ def simulate(
 
     def block(carry, _):
         s, HL = refresh(carry)
-        hl_flat = tuple(x.reshape(-1) for x in HL)
+        hl_flat = None if HL is None else tuple(x.reshape(-1) for x in HL)
 
         def inner(c, _):
             return inner_step(c, hl_flat), None
