@@ -136,6 +136,16 @@ class HumanoidEnv(DiffEnv):
         )
         return bad
 
+    def zero_reward_on_invalid(self):
+        # the SNU defense (snu_humanoid.py:423-432) extended to Humanoid:
+        # without it one blown-up state's NaN reward poisons the episode
+        # trackers and the window's actor loss for hundreds of epochs
+        # (observed at epoch ~460 of a 2000-epoch run); the invalid mask
+        # already force-resets the env, so zeroing its reward is the
+        # consistent treatment. The reference instead crashes on the
+        # resulting NaN grad norm (shac.py:421-423).
+        return True
+
     def initial_state(self, key):
         q0 = self.model.joint_q_init
         qd0 = jnp.zeros_like(self.model.joint_qd_init)
