@@ -422,6 +422,138 @@ def eval_mass_matrix_factored(model: Model, S_s, body_X_sm):
     return jnp.stack(rows)
 
 
+def _rot_scalars(q):
+    """3x3 rotation entries from quaternion xyzw as a nested list of
+    scalars (no [.., 3, 3] materialization — under vmap that pads to
+    (8, 128) tiles)."""
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    return [
+        [1.0 - 2.0 * (yy + zz), 2.0 * (xy - wz), 2.0 * (xz + wy)],
+        [2.0 * (xy + wz), 1.0 - 2.0 * (xx + zz), 2.0 * (yz - wx)],
+        [2.0 * (xz - wy), 2.0 * (yz + wx), 1.0 - 2.0 * (xx + yy)],
+    ]
+
+
+def eval_mass_matrix_crba(model: Model, S_s, body_X_sm):
+    """Composite-rigid-body H via subtree inertia accumulation.
+
+    Same values as :func:`eval_mass_matrix_factored` (H[d,e] =
+    S_d^T (sum_{l in subtree} I_l) S_e) with O(L + D*depth) dot products
+    instead of O(sum_l n_l^2): each link's space-frame inertia is built
+    once as 36 [E]-shaped scalars (T^T I_m T with T = Ad(t^-1); the
+    R^T R = 1 identity collapses the lower-right block to m*delta),
+    composite inertias accumulate leaf->root, and each dof's force vector
+    F_d = I^c S_d dots only against its ancestor dofs. Every intermediate
+    stays scalar — no tile-padded [E, 6, 6] tensors.
+
+    NOT the default: despite fewer dot products, full scalarization traces
+    MORE jaxpr equations than the vector-op factored form (Ant 14.1k vs
+    10.2k; Humanoid 35.0k vs 30.3k incl. shared FK/ID), so it does not
+    help compile time. Kept as a tested alternative formulation.
+    """
+    from ..ops import transform_inverse
+
+    topo = model.topology
+    mask = np.asarray(topo.ancestor_dof_mask())
+    L = topo.link_count
+    D = topo.dof_count
+
+    # per-link space-frame inertia as 6x6 nested scalar lists
+    I_links = []
+    for l in range(L):
+        t_inv = transform_inverse(body_X_sm[l])
+        q = t_inv[3:7]
+        p = t_inv[0:3]
+        R = _rot_scalars(q)
+        px, py, pz = p[0], p[1], p[2]
+        skew_p = [[0.0, -pz, py], [pz, 0.0, -px], [-py, px, 0.0]]
+        # S = skew(p) @ R
+        S3 = [
+            [sum(skew_p[i][k] * R[k][j] for k in range(3)) for j in range(3)]
+            for i in range(3)
+        ]
+        I3 = model.body_I_m[l][0:3, 0:3]
+        m = model.body_I_m[l][3, 3]
+        # A = R^T I3 R
+        I3R = [
+            [sum(I3[i, k] * R[k][j] for k in range(3)) for j in range(3)]
+            for i in range(3)
+        ]
+        A = [
+            [sum(R[k][i] * I3R[k][j] for k in range(3)) for j in range(3)]
+            for i in range(3)
+        ]
+        # UL = A + m S^T S ; UR = m S^T R ; LR = m I
+        UL = [
+            [
+                A[i][j] + m * sum(S3[k][i] * S3[k][j] for k in range(3))
+                for j in range(3)
+            ]
+            for i in range(3)
+        ]
+        UR = [
+            [m * sum(S3[k][i] * R[k][j] for k in range(3)) for j in range(3)]
+            for i in range(3)
+        ]
+        I6 = [[None] * 6 for _ in range(6)]
+        for i in range(3):
+            for j in range(3):
+                I6[i][j] = UL[i][j]
+                I6[i][3 + j] = UR[i][j]
+                I6[3 + i][j] = UR[j][i]
+                I6[3 + i][3 + j] = m if i == j else 0.0
+        I_links.append(I6)
+
+    # composite: leaf -> root accumulation
+    Ic = [[[e for e in row] for row in I_links[l]] for l in range(L)]
+    for l in reversed(range(L)):
+        parent = topo.joint_parent[l]
+        if parent >= 0:
+            for i in range(6):
+                for j in range(6):
+                    Ic[parent][i][j] = Ic[parent][i][j] + Ic[l][i][j]
+
+    # dof -> owning link (the link whose joint carries the dof)
+    dof_link = [-1] * D
+    for l in range(L):
+        ds, de = topo.joint_qd_start[l], (
+            topo.joint_qd_start[l + 1] if l + 1 < L else D
+        )
+        for d in range(ds, de):
+            dof_link[d] = l
+
+    zero = jnp.zeros(())
+    Hs = [[zero] * D for _ in range(D)]
+    for d in range(D):
+        li = dof_link[d]
+        if li < 0:
+            continue
+        Sd = S_s[d]
+        F = [
+            sum(Ic[li][i][j] * Sd[j] for j in range(6) if not _is_zero(Ic[li][i][j]))
+            for i in range(6)
+        ]
+        for e in range(D):
+            if e > d or not mask[li, e]:
+                continue
+            Se = S_s[e]
+            val = sum(F[i] * Se[i] for i in range(6))
+            Hs[min(d, e)][max(d, e)] = val
+
+    rows = [
+        jnp.stack([Hs[min(i, j)][max(i, j)] for j in range(D)])
+        for i in range(D)
+    ]
+    return jnp.stack(rows)
+
+
+def _is_zero(x) -> bool:
+    return isinstance(x, (int, float)) and x == 0.0
+
+
 def _factorize_mass_matrix(model: Model, S_s, body_X_sm):
     """H plus its frozen explicit inverse (H + armature regularization).
 

@@ -283,6 +283,62 @@ class TestBatching:
         np.testing.assert_allclose(
             np.asarray(factored), np.asarray(dense), rtol=1e-5, atol=1e-5
         )
+        from diffrl_tpu.sim.articulation import eval_mass_matrix_crba
+
+        crba = eval_mass_matrix_crba(model, S_s, X_sm)
+        np.testing.assert_allclose(
+            np.asarray(crba), np.asarray(dense), rtol=1e-4, atol=3e-5
+        )
+
+    def test_mass_matrix_crba_branched_tree(self):
+        # branching (two children of the same link) exercises the subtree
+        # composite-inertia accumulation
+        from diffrl_tpu.sim.articulation import (
+            eval_fk,
+            eval_id,
+            eval_mass_matrix,
+            eval_mass_matrix_crba,
+            eval_spatial_inertias,
+        )
+
+        b = ModelBuilder()
+        b.add_articulation()
+        base = b.add_link(
+            -1, sim.model.np_transform_identity(), (0.0, 0.0, 0.0), sim.JOINT_FREE
+        )
+        b.add_shape_box(base, hx=0.2, hy=0.1, hz=0.15, density=800.0)
+        for side in (-0.2, 0.2):
+            l1 = b.add_link(
+                base,
+                sim.model.np_transform((side, -0.1, 0.0), (0.0, 0.0, 0.0, 1.0)),
+                (0.0, 0.0, 1.0),
+                sim.JOINT_REVOLUTE,
+            )
+            b.add_shape_capsule(l1, pos=(0.0, -0.2, 0.0), radius=0.04,
+                                half_width=0.2, density=1000.0)
+            l2 = b.add_link(
+                l1,
+                sim.model.np_transform((0.0, -0.4, 0.0), (0.0, 0.0, 0.0, 1.0)),
+                (1.0, 0.0, 0.0),
+                sim.JOINT_REVOLUTE,
+            )
+            b.add_shape_capsule(l2, pos=(0.0, -0.2, 0.0), radius=0.04,
+                                half_width=0.2, density=1000.0)
+        model = b.finalize()
+        assert model.link_count == 5 and model.dof_count == 10
+
+        key = jax.random.PRNGKey(7)
+        q = model.joint_q_init + 0.2 * jax.random.normal(key, (model.coord_count,))
+        q = q.at[3:7].set(q[3:7] / jnp.linalg.norm(q[3:7]))
+        qd = 0.3 * jax.random.normal(jax.random.PRNGKey(8), (model.dof_count,))
+
+        X_sc, X_sm = eval_fk(model, q)
+        S_s, _, _ = eval_id(model, q, qd, X_sc, X_sm)
+        dense = eval_mass_matrix(model, S_s, eval_spatial_inertias(model, X_sm))
+        crba = eval_mass_matrix_crba(model, S_s, X_sm)
+        np.testing.assert_allclose(
+            np.asarray(crba), np.asarray(dense), rtol=1e-4, atol=1e-5
+        )
 
     def test_remat_granularity_invariant(self):
         # grouping substeps into larger checkpointed regions must not
