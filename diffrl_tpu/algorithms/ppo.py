@@ -142,8 +142,8 @@ class PPO:
             raise ValueError(
                 f"num_envs={self.num_envs} not divisible by mesh size {self.mesh.size}"
             )
-        self.env_state = mesh_lib.shard_env_axis(self.mesh, self.env_state)
-        self.episode_trackers = mesh_lib.shard_env_axis(self.mesh, self.episode_trackers)
+        self.env_state = mesh_lib.shard_env_axis(self.mesh, self.env_state, self.num_envs)
+        self.episode_trackers = mesh_lib.shard_env_axis(self.mesh, self.episode_trackers, self.num_envs)
         for attr in ("net_params", "opt_state", "obs_rms", "val_rms"):
             v = getattr(self, attr)
             if v is not None:
@@ -376,8 +376,13 @@ class PPO:
             self.iter_count += 1
             self.step_count += self.steps_num * self.num_envs
 
-            # one batched device->host transfer (each sync pays tunnel RTT)
-            aux = jax.device_get(aux)
+            # one batched device->host transfer of ONLY the stats the host
+            # reads (aux also carries env_state/rms/trackers — megabytes at
+            # 4096 envs that the loop never touches)
+            aux = jax.device_get(
+                {k: aux[k] for k in ("done", "ep_rew_done", "ep_len_done",
+                                     "loss", "a_loss", "c_loss", "kl")}
+            )
             done_np = np.asarray(aux["done"]).reshape(-1).astype(bool)
             if done_np.any():
                 ep_rews = np.asarray(aux["ep_rew_done"]).reshape(-1)[done_np]

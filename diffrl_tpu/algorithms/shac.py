@@ -172,8 +172,8 @@ class SHAC:
             raise ValueError(
                 f"num_envs={self.num_envs} not divisible by mesh size {self.mesh.size}"
             )
-        self.env_state = mesh_lib.shard_env_axis(self.mesh, self.env_state)
-        self.episode_trackers = mesh_lib.shard_env_axis(self.mesh, self.episode_trackers)
+        self.env_state = mesh_lib.shard_env_axis(self.mesh, self.env_state, self.num_envs)
+        self.episode_trackers = mesh_lib.shard_env_axis(self.mesh, self.episode_trackers, self.num_envs)
         for attr in ("actor_params", "critic_params", "target_critic_params",
                      "actor_opt_state", "critic_opt_state", "obs_rms", "ret_rms"):
             v = getattr(self, attr)

@@ -29,6 +29,31 @@ from ..sim import Model, State, simulate
 from ..sim.model import _pytree_dataclass, static_field
 
 
+@jax.custom_vjp
+def grad_nan_guard(x):
+    """Identity whose backward nan_to_nums the cotangent.
+
+    JAX equivalent of the reference's tensor gradient hooks on
+    joint_q/joint_qd (snu_humanoid.py:253-265): once one env's physics
+    blows up, reverse-mode through its NaN primals yields NaN cotangents
+    regardless of the (zeroed) incoming gradient; guarding the sim inputs
+    zeroes exactly those entries so one bad env cannot NaN the whole
+    batch's parameter gradient.
+    """
+    return x
+
+
+def _gng_fwd(x):
+    return x, None
+
+
+def _gng_bwd(_, g):
+    return (jnp.nan_to_num(g, nan=0.0, posinf=0.0, neginf=0.0),)
+
+
+grad_nan_guard.defvjp(_gng_fwd, _gng_bwd)
+
+
 @_pytree_dataclass
 @dataclass(frozen=True)
 class EnvState:
@@ -165,14 +190,28 @@ class DiffEnv:
             return s.joint_q, s.joint_qd
 
         with jax.named_scope("env_sim"):
-            q, qd = jax.vmap(sim_one)(
-                env_state.joint_q, env_state.joint_qd, joint_act, muscle_act
+            # per-entry gradient firewall on the sim inputs (see
+            # grad_nan_guard): inert unless an env's backward NaNs
+            sim_in = jax.tree.map(
+                grad_nan_guard,
+                (env_state.joint_q, env_state.joint_qd, joint_act, muscle_act),
             )
+            q, qd = jax.vmap(sim_one)(*sim_in)
 
         progress = env_state.progress + 1
 
         with jax.named_scope("env_obs_reward"):
-            obs = jax.vmap(self.observations)(q, qd, actions)
+            # Observations are computed from SANITIZED state: for finite
+            # values nan_to_num is the identity with identity Jacobian, but
+            # for a blown-up env it stops NaN primals from reaching the
+            # obs/reward graph — a `where(done, safe, obs)` only masks the
+            # primal, while its VJP still multiplies the (zero) cotangent
+            # by Jacobians evaluated at the NaN primal (0 * NaN = NaN),
+            # poisoning the whole batch's gradient. Invalidity is still
+            # detected from the RAW state below.
+            q_obs = jnp.nan_to_num(q, nan=0.0, posinf=0.0, neginf=0.0)
+            qd_obs = jnp.nan_to_num(qd, nan=0.0, posinf=0.0, neginf=0.0)
+            obs = jax.vmap(self.observations)(q_obs, qd_obs, actions)
             rew = jax.vmap(self.reward)(obs, actions)
 
             done = progress > self.episode_length - 1
@@ -181,6 +220,7 @@ class DiffEnv:
                 done = done | term
             invalid = jax.vmap(self.invalid_mask)(obs, q, qd)
             done = done | invalid
+            rew = jnp.where(jnp.isfinite(rew), rew, 0.0)
             if self.zero_reward_on_invalid():
                 rew = jnp.where(invalid, 0.0, rew)
 

@@ -36,11 +36,24 @@ def make_data_mesh(num_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("data",))
 
 
-def shard_env_axis(mesh: Mesh, pytree):
+def shard_env_axis(mesh: Mesh, pytree, num_envs: Optional[int] = None):
     """Place every [E, ...] leaf of an env-state pytree with E sharded over
-    the ``data`` axis; scalars/keys replicated."""
+    the ``data`` axis; scalars/keys replicated.
+
+    Pass ``num_envs`` to shard exactly the leaves whose leading dim equals
+    it — without it the fallback is a divisibility heuristic, which can
+    mis-shard small leaves (e.g. a legacy [2] PRNG key on a 2-device mesh).
+    """
     def place(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % mesh.size == 0:
+        if not hasattr(x, "ndim") or x.ndim < 1:
+            spec = P()
+        elif num_envs is not None:
+            spec = (
+                P("data", *([None] * (x.ndim - 1)))
+                if x.shape[0] == num_envs
+                else P()
+            )
+        elif x.shape[0] >= mesh.size and x.shape[0] % mesh.size == 0:
             spec = P("data", *([None] * (x.ndim - 1)))
         else:
             spec = P()

@@ -805,10 +805,14 @@ def simulate(
 
     if remat:
         # prevent_cse=False is safe (and faster) for scan bodies: the XLA
-        # while-loop boundary already prevents the remat-defeating CSE. The
-        # refresh substep runs outside the scan, so it keeps the barrier.
+        # while-loop boundary already prevents the remat-defeating CSE.
+        # When inner_step would be called directly (a single grouped
+        # region, (mass_matrix_freq-1)//g <= 1) there is no loop boundary,
+        # so keep the barrier. The refresh substep always runs outside the
+        # scan and keeps it too.
+        inner_in_scan = (mass_matrix_freq - 1) // g > 1
         refresh = jax.checkpoint(refresh)
-        inner_step = jax.checkpoint(inner_step, prevent_cse=False)
+        inner_step = jax.checkpoint(inner_step, prevent_cse=not inner_in_scan)
 
     def block(carry, _):
         s, HL = refresh(carry)

@@ -144,3 +144,13 @@ def test_invalid_state_zeroes_reward_and_resets():
     assert bool(done[0]) and float(rew[0]) == 0.0
     assert bool(jnp.all(jnp.isfinite(obs)))
     assert bool(jnp.all(jnp.isfinite(es2.joint_q)))
+
+    # the GRADIENT must also stay finite: a where() only masks the primal,
+    # so obs/reward must be computed from sanitized state or the NaN
+    # Jacobians poison the cotangents (0 * NaN = NaN)
+    def loss(actions):
+        _, _, r, _, _ = env.step(es, actions)
+        return jnp.sum(r)
+
+    g = jax.grad(loss)(jnp.zeros((2, env.num_acts)))
+    assert bool(jnp.all(jnp.isfinite(g))), g

@@ -64,7 +64,7 @@ def main():
             episode_length=1000, MM_caching_frequency=args.mm_freq,
         )
         mesh = mesh_lib.make_data_mesh(n)
-        state = mesh_lib.shard_env_axis(mesh, env.reset(jax.random.PRNGKey(0)))
+        state = mesh_lib.shard_env_axis(mesh, env.reset(jax.random.PRNGKey(0)), E)
 
         @jax.jit
         def step_fn(state, key):

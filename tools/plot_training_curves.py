@@ -20,7 +20,7 @@ import numpy as np
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RESULTS = os.path.join(HERE, "docs", "results")
 
-# (npz file, panel title, scalar key, negate)
+# (npz file, panel title, scalar key)
 PANELS = [
     ("shac_ant_seed0_2000ep.npz", "Ant", "rewards"),
     ("shac_cheetah_seed0_2000ep.npz", "Cheetah", "rewards"),
@@ -61,6 +61,9 @@ def main():
         it, val = arr[:, 0], arr[:, 2]
         ok = np.isfinite(val)
         it, val = it[ok], val[ok]
+        if it.size == 0:
+            ax.set_visible(False)
+            continue
 
         ax.set_facecolor(SURFACE)
         ax.grid(True, color=GRID, linewidth=0.8, zorder=0)
