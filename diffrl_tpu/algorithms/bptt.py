@@ -40,10 +40,14 @@ def _make_optimizer(name: str, schedule, betas):
     if name == "adam":
         return optax.adam(schedule, b1=betas[0], b2=betas[1])
     if name == "lbfgs":
-        raise NotImplementedError(
-            "lbfgs needs a value_fn-driven line search that re-runs the "
-            "rollout per evaluation; use gd/sgd/adam (the reference's "
-            "shipped configs all use adam)"
+        # reference: torch.optim.LBFGS with a loss-closure line search
+        # (algorithms/bptt.py:100); optax.lbfgs' zoom linesearch re-runs
+        # the rollout through value_fn per probe step (see actor_update)
+        return optax.lbfgs(
+            learning_rate=None, memory_size=10,
+            linesearch=optax.scale_by_zoom_linesearch(
+                max_linesearch_steps=8
+            ),
         )
     raise ValueError(f"unknown optimizer '{name}'")
 
@@ -103,6 +107,7 @@ class BPTT:
         else:
             sched = self.actor_lr
         self.actor_opt = _make_optimizer(algo_name, sched, betas)
+        self.is_lbfgs = algo_name.lower() == "lbfgs"
         self.actor_opt_state = self.actor_opt.init(self.actor_params)
 
         self.obs_rms = RunningMeanStd.create((self.num_obs,)) if self.use_obs_rms else None
@@ -225,9 +230,20 @@ class BPTT:
             if self.truncate_grad:
                 scale = jnp.minimum(1.0, self.grad_norm / (gnorm + 1e-12))
                 grads = jax.tree.map(lambda g: g * scale, grads)
-            updates, actor_opt_state = self.actor_opt.update(
-                grads, actor_opt_state, actor_params
-            )
+            if self.is_lbfgs:
+                # the zoom linesearch probes trial points by re-running the
+                # full rollout (the torch LBFGS closure analog)
+                updates, actor_opt_state = self.actor_opt.update(
+                    grads, actor_opt_state, actor_params,
+                    value=loss, grad=grads,
+                    value_fn=lambda p: rollout(
+                        p, env_state, obs_rms, trackers, key, False
+                    )[0],
+                )
+            else:
+                updates, actor_opt_state = self.actor_opt.update(
+                    grads, actor_opt_state, actor_params
+                )
             actor_params = optax.apply_updates(actor_params, updates)
             return actor_params, actor_opt_state, loss, aux, gnorm
 

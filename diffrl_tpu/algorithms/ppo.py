@@ -192,6 +192,8 @@ class PPO:
                     obs=obs_n,
                     actions=actions,
                     logp=logp,
+                    mu=mu,
+                    sigma=jnp.broadcast_to(sigma, mu.shape),
                     value=norm_val(val_rms, value, un=True),
                     rew=rew,
                     done=done.astype(jnp.float32),
@@ -231,7 +233,7 @@ class PPO:
             return advs
 
         def minibatch_loss(net_params, lr_unused, obs, actions, old_logp,
-                           advantages, returns, old_values):
+                           advantages, returns, old_values, old_mu, old_sigma):
             mu, sigma, value = net(net_params, obs)
             logp = net.log_prob(mu, sigma, actions)
 
@@ -263,10 +265,17 @@ class PPO:
                 - self.entropy_coef * entropy
                 + self.bounds_loss_coef * b_loss
             )
-            # approximate KL for adaptive lr (a2c_common.py policy_kl; the k3
-            # estimator is non-negative and low-variance)
-            log_ratio = logp - old_logp
-            kl = jnp.mean(jnp.exp(log_ratio) - 1.0 - log_ratio)
+            # analytic Gaussian KL(old || new) for the adaptive LR scheduler
+            # (rl_games torch_utils.policy_kl semantics)
+            sig_new = jnp.broadcast_to(sigma, mu.shape)
+            kl = jnp.mean(
+                jnp.sum(
+                    jnp.log(sig_new / old_sigma)
+                    + (old_sigma**2 + (mu - old_mu) ** 2) / (2.0 * sig_new**2)
+                    - 0.5,
+                    axis=-1,
+                )
+            )
             return loss, (a_loss, c_loss, entropy, kl)
 
         def train_epoch(net_params, opt_state, cur_lr, env_state,
@@ -293,6 +302,8 @@ class PPO:
             adv_f = advs.reshape(B)
             ret_f = returns_n.reshape(B)
             val_f = values_n.reshape(B)
+            mu_f = outs["mu"].reshape(B, -1)
+            sig_f = outs["sigma"].reshape(B, -1)
 
             if self.normalize_advantage:
                 adv_f = (adv_f - adv_f.mean()) / (adv_f.std() + 1e-8)
@@ -308,9 +319,11 @@ class PPO:
                 ad = adv_f[idx]
                 rt = ret_f[idx]
                 vl = val_f[idx]
+                om = mu_f[idx]
+                osg = sig_f[idx]
                 (loss, (a_l, c_l, ent, kl)), grads = jax.value_and_grad(
                     minibatch_loss, has_aux=True
-                )(net_params, lr, o, a, lp, ad, rt, vl)
+                )(net_params, lr, o, a, lp, ad, rt, vl, om, osg)
                 if self.truncate_grads:
                     gn = optax.global_norm(grads)
                     scale = jnp.minimum(1.0, self.grad_norm / (gn + 1e-12))

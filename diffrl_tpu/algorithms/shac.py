@@ -361,8 +361,11 @@ class SHAC:
             )
             return targets
 
-        def critic_update(critic_params, critic_opt_state, obs_flat, target_flat):
-            """critic_iterations x num_batch minibatch MSE steps."""
+        def critic_update(critic_params, critic_opt_state, obs_flat, target_flat, key):
+            """critic_iterations x num_batch minibatch MSE steps, with a
+            fresh random permutation of the (H*E) dataset each iteration
+            (matching the reference's shuffled CriticDataset,
+            utils/dataset.py:11-36)."""
             n = obs_flat.shape[0]
             bs = self.batch_size
             nb = (n - 1) // bs + 1
@@ -371,34 +374,36 @@ class SHAC:
                 v = self.critic(params, o)[..., 0]
                 return jnp.sum((v - t) ** 2 * w) / jnp.maximum(jnp.sum(w), 1.0)
 
-            def one_batch(carry, b):
-                params, opt_state, total = carry
-                start = b * bs
-                idx = start + jnp.arange(bs)
-                w = (idx < n).astype(jnp.float32)
-                idx = jnp.minimum(idx, n - 1)
-                o = obs_flat[idx]
-                t = target_flat[idx]
-                loss, grads = jax.value_and_grad(mse)(params, o, t, w)
-                grads = jax.tree.map(lambda g: jnp.nan_to_num(g, 0.0, 0.0, 0.0), grads)
-                if self.truncate_grad:
-                    gn = optax.global_norm(grads)
-                    scale = jnp.minimum(1.0, self.grad_norm / (gn + 1e-12))
-                    grads = jax.tree.map(lambda g: g * scale, grads)
-                updates, opt_state = self.critic_opt.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state, total + loss), None
-
-            def one_iter(carry, _):
+            def one_iter(carry, it_key):
                 params, opt_state = carry
+                perm = jax.random.permutation(it_key, n)
+
+                def one_batch(carry, b):
+                    params, opt_state, total = carry
+                    start = b * bs
+                    idx = start + jnp.arange(bs)
+                    w = (idx < n).astype(jnp.float32)
+                    idx = perm[jnp.minimum(idx, n - 1)]
+                    o = obs_flat[idx]
+                    t = target_flat[idx]
+                    loss, grads = jax.value_and_grad(mse)(params, o, t, w)
+                    grads = jax.tree.map(lambda g: jnp.nan_to_num(g, 0.0, 0.0, 0.0), grads)
+                    if self.truncate_grad:
+                        gn = optax.global_norm(grads)
+                        scale = jnp.minimum(1.0, self.grad_norm / (gn + 1e-12))
+                        grads = jax.tree.map(lambda g: g * scale, grads)
+                    updates, opt_state = self.critic_opt.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state, total + loss), None
+
                 (params, opt_state, total), _ = lax.scan(
                     one_batch, (params, opt_state, 0.0), jnp.arange(nb)
                 )
                 return (params, opt_state), total / nb
 
             (critic_params, critic_opt_state), losses = lax.scan(
-                one_iter, (critic_params, critic_opt_state), None,
-                length=self.critic_iterations,
+                one_iter, (critic_params, critic_opt_state),
+                jax.random.split(key, self.critic_iterations),
             )
             return critic_params, critic_opt_state, losses[-1]
 
@@ -413,10 +418,11 @@ class SHAC:
             backprop-through-sim actor step, TD(lambda) targets, all critic
             minibatch iterations, and the polyak target update. One host
             dispatch + one sync per epoch instead of four."""
+            key_actor, key_critic = jax.random.split(key)
             (actor_params, actor_opt_state, actor_loss, aux,
              gnorm_before, gnorm_after) = actor_update(
                 actor_params, actor_opt_state, target_critic_params,
-                env_state, obs_rms, ret_rms, trackers, key,
+                env_state, obs_rms, ret_rms, trackers, key_actor,
             )
             outs = aux["outs"]
             target_values = compute_target_values(
@@ -428,6 +434,7 @@ class SHAC:
                 critic_params, critic_opt_state,
                 outs["obs"].reshape(-1, self.num_obs),
                 target_values.reshape(-1),
+                key_critic,
             )
             target_critic_params = polyak(target_critic_params, critic_params)
             stats = dict(

@@ -13,7 +13,7 @@ import numpy as np
 
 from ..ops import quat_conjugate, quat_from_angle_axis, quat_mul, safe_normalize
 from ..sim import ModelBuilder
-from ..sim.importers.snu import Skeleton
+from ..sim.importers.snu import SnuGains, load_snu
 from ..sim.model import np_quat_from_axis_angle
 from .base import DiffEnv
 from .locomotion import torso_observations
@@ -74,20 +74,22 @@ class SNUHumanoidEnv(DiffEnv):
 
     def build_model(self):
         builder = ModelBuilder()
-        self.skeleton = Skeleton(
+        self.skeleton = load_snu(
             os.path.join(_ASSETS, "human.xml"),
             os.path.join(_ASSETS, "muscle284.xml") if self.mtu_actuations else None,
             builder,
-            filter=_FILTER,
-            stiffness=5.0,
-            damping=2.0,
-            contact_ke=5.0e3,
-            contact_kd=2.0e3,
-            contact_kf=1.0e3,
-            contact_mu=0.5,
-            limit_ke=1.0e3,
-            limit_kd=1.0e1,
-            armature=0.05,
+            include=_FILTER,
+            gains=SnuGains(
+                joint_stiffness=5.0,
+                joint_damping=2.0,
+                joint_armature=0.05,
+                limit_ke=1.0e3,
+                limit_kd=1.0e1,
+                shape_ke=5.0e3,
+                shape_kd=2.0e3,
+                shape_kf=1.0e3,
+                shape_mu=0.5,
+            ),
         )
         builder.joint_q[0:3] = [0.0, self.start_height, 0.0]
         builder.joint_q[3:7] = list(np_quat_from_axis_angle((0.0, 1.0, 0.0), math.pi * 0.5))

@@ -33,6 +33,7 @@ class StatefulEnv:
     def __init__(self, env: DiffEnv, seed: int = 0):
         self.env = env
         self.seed = seed
+        self._key = jax.random.PRNGKey(seed)
         self.state: Optional[EnvState] = None
         self._step = jax.jit(env.step)
         self.extras: Dict[str, Any] = {}
@@ -65,7 +66,11 @@ class StatefulEnv:
 
     def reset(self, force_reset: bool = True):
         if self.state is None or force_reset:
-            self.state = self.env.reset(jax.random.PRNGKey(self.seed))
+            # fresh randomness per reset (the reference draws new stochastic
+            # initial states each time, envs/dflex_env.py); the first reset
+            # reproduces PRNGKey(seed) behavior via the carried key
+            self._key, sub = jax.random.split(self._key)
+            self.state = self.env.reset(sub)
         return self.env.batch_observations(self.state)
 
     def step(self, actions):

@@ -29,11 +29,27 @@ def init_distributed(coordinator_address: Optional[str] = None,
 
 
 def make_data_mesh(num_devices: Optional[int] = None) -> Mesh:
-    """1-D mesh over all (or the first N) devices with a ``data`` axis."""
+    """1-D mesh over all (or the first N) devices with a ``data`` axis.
+
+    Under multi-process (``jax.distributed``) execution ``jax.devices()``
+    is the GLOBAL device list, so the mesh spans all hosts and reductions
+    over ``data`` ride DCN between processes."""
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def _put(x, sharding):
+    """device_put that also works when `sharding` spans non-addressable
+    devices (multi-host): every process holds the same full host value
+    (same-seed init), so each can serve its local shards by slicing."""
+    if jax.process_count() > 1:
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+    return jax.device_put(x, sharding)
 
 
 def shard_env_axis(mesh: Mesh, pytree, num_envs: Optional[int] = None):
@@ -57,7 +73,7 @@ def shard_env_axis(mesh: Mesh, pytree, num_envs: Optional[int] = None):
             spec = P("data", *([None] * (x.ndim - 1)))
         else:
             spec = P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return _put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(place, pytree)
 
@@ -65,5 +81,5 @@ def shard_env_axis(mesh: Mesh, pytree, num_envs: Optional[int] = None):
 def replicate(mesh: Mesh, pytree):
     """Replicate a pytree (parameters, optimizer state) across the mesh."""
     return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P())), pytree
+        lambda x: _put(x, NamedSharding(mesh, P())), pytree
     )

@@ -4,12 +4,16 @@ Self-contained xml.etree parser (the reference delegates to the urdfpy
 package, /root/reference/utils/load_utils.py:129-229; this covers the same
 feature set without the dependency): links + revolute/continuous/prismatic/
 fixed/floating joints with origins/limits/damping, box/sphere/cylinder
-collision shapes (cylinders become x-aligned capsules).
+collision shapes (cylinders become x-aligned capsules), triangle-mesh
+colliders (OBJ/STL via importers.meshio), and optional ``<inertial>``
+mass-property overrides (beyond the reference, which always derives mass
+from collision density).
 """
 
 from __future__ import annotations
 
 import math
+import os
 import xml.etree.ElementTree as ET
 
 import numpy as np
@@ -19,13 +23,16 @@ from ..model import (
     JOINT_FREE,
     JOINT_PRISMATIC,
     JOINT_REVOLUTE,
+    Mesh,
     ModelBuilder,
     np_quat_from_axis_angle,
     np_quat_mul,
+    np_quat_to_matrix,
     np_rpy2quat,
     np_transform,
     np_transform_identity,
 )
+from .meshio import load_mesh
 
 
 def _origin(node):
@@ -38,7 +45,28 @@ def _origin(node):
     return xyz, np_rpy2quat(*rpy)
 
 
-def _add_collisions(builder, link, link_node, ke, kd, kf, mu):
+def _resolve_mesh_path(urdf_dir, raw):
+    """Resolve a URDF mesh filename: package:// URIs resolve best-effort by
+    stripping the scheme and walking up from the URDF directory."""
+    if raw.startswith("package://"):
+        tail = raw[len("package://"):]
+        probe = urdf_dir
+        for _ in range(6):
+            cand = os.path.join(probe, tail)
+            if os.path.exists(cand):
+                return cand
+            # also try dropping the leading package-name component
+            sub = tail.split("/", 1)
+            if len(sub) == 2 and os.path.exists(os.path.join(probe, sub[1])):
+                return os.path.join(probe, sub[1])
+            probe = os.path.dirname(probe)
+        return os.path.join(urdf_dir, tail)
+    if os.path.isabs(raw):
+        return raw
+    return os.path.join(urdf_dir, raw)
+
+
+def _add_collisions(builder, link, link_node, ke, kd, kf, mu, urdf_dir="."):
     for collision in link_node.findall("collision"):
         pos, rot = _origin(collision)
         geo = collision.find("geometry")
@@ -47,6 +75,7 @@ def _add_collisions(builder, link, link_node, ke, kd, kf, mu):
         box = geo.find("box")
         sphere = geo.find("sphere")
         cylinder = geo.find("cylinder")
+        mesh = geo.find("mesh")
         if box is not None:
             size = np.fromstring(box.attrib["size"], sep=" ")
             builder.add_shape_box(
@@ -68,7 +97,37 @@ def _add_collisions(builder, link, link_node, ke, kd, kf, mu):
                 float(cylinder.attrib["length"]) * 0.5,
                 ke=ke, kd=kd, kf=kf, mu=mu,
             )
-        # mesh collision shapes not needed by the shipped assets
+        if mesh is not None:
+            path = _resolve_mesh_path(urdf_dir, mesh.attrib["filename"])
+            scale = np.fromstring(mesh.attrib.get("scale", "1 1 1"), sep=" ")
+            verts, faces = load_mesh(path)
+            builder.add_shape_mesh(
+                link, pos, rot, mesh=Mesh(verts, faces),
+                scale=(float(scale[0]), float(scale[1]), float(scale[2])),
+                ke=ke, kd=kd, kf=kf, mu=mu,
+            )
+
+
+def _apply_inertial(builder, link, link_node):
+    """Override the link's density-derived mass properties with the URDF
+    ``<inertial>`` block (mass, COM origin, rotated inertia tensor)."""
+    inertial = link_node.find("inertial")
+    if inertial is None or link == -1:
+        return
+    pos, rot = _origin(inertial)
+    mass_node = inertial.find("mass")
+    mass = float(mass_node.attrib["value"]) if mass_node is not None else 0.0
+    I = np.zeros((3, 3))
+    tensor = inertial.find("inertia")
+    if tensor is not None:
+        a = tensor.attrib
+        xx, yy, zz = (float(a.get(k, "0")) for k in ("ixx", "iyy", "izz"))
+        xy, xz, yz = (float(a.get(k, "0")) for k in ("ixy", "ixz", "iyz"))
+        I = np.array([[xx, xy, xz], [xy, yy, yz], [xz, yz, zz]])
+    R = np_quat_to_matrix(rot)
+    builder.body_mass[link] = mass
+    builder.body_com[link] = np.asarray(pos, dtype=np.float64)
+    builder.body_inertia[link] = R @ I @ R.T
 
 
 def urdf_load(
@@ -83,9 +142,11 @@ def urdf_load(
     shape_mu=0.25,
     limit_ke=100.0,
     limit_kd=1.0,
+    parse_inertial=False,
 ):
     tree = ET.parse(filename)
     robot = tree.getroot()
+    urdf_dir = os.path.dirname(os.path.abspath(filename))
 
     links = robot.findall("link")
     joints = robot.findall("joint")
@@ -112,7 +173,9 @@ def urdf_load(
     else:
         root = builder.add_link(-1, xform, (0, 0, 0), JOINT_FIXED)
 
-    _add_collisions(builder, root, link_map[root_name], shape_ke, shape_kd, shape_kf, shape_mu)
+    _add_collisions(builder, root, link_map[root_name], shape_ke, shape_kd, shape_kf, shape_mu, urdf_dir)
+    if parse_inertial:
+        _apply_inertial(builder, root, link_map[root_name])
     link_index[root_name] = root
 
     # process joints parent-first regardless of document order
@@ -184,5 +247,7 @@ def urdf_load(
             limit_kd=limit_kd,
             damping=damping,
         )
-        _add_collisions(builder, link, link_map[child_name], shape_ke, shape_kd, shape_kf, shape_mu)
+        _add_collisions(builder, link, link_map[child_name], shape_ke, shape_kd, shape_kf, shape_mu, urdf_dir)
+        if parse_inertial:
+            _apply_inertial(builder, link, link_map[child_name])
         link_index[child_name] = link

@@ -72,6 +72,16 @@ def test_bptt_two_epochs():
     assert _params_changed(before, bptt.actor_params)
 
 
+def test_bptt_lbfgs():
+    """LBFGS option (reference algorithms/bptt.py:100): zoom-linesearch
+    steps that re-run the rollout as the loss closure."""
+    bptt = BPTT(_base_cfg({"lr_schedule": "constant"}, algo="lbfgs"))
+    before = jax.tree.map(jnp.copy, bptt.actor_params)
+    bptt.train()
+    assert np.isfinite(bptt.actor_loss)
+    assert _params_changed(before, bptt.actor_params)
+
+
 def test_ppo_two_epochs():
     cfg = _base_cfg(
         {

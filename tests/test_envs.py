@@ -28,9 +28,9 @@ slow = pytest.mark.skipif(
 )
 
 
-def _run_env(name, mm, steps=25, num_envs=4):
+def _run_env(name, mm, steps=25, num_envs=4, episode_length=20):
     env = envs.make(name, num_envs=num_envs, seed=0, stochastic_init=True,
-                    episode_length=20, MM_caching_frequency=mm)
+                    episode_length=episode_length, MM_caching_frequency=mm)
     state = env.reset(jax.random.PRNGKey(0))
 
     @jax.jit
@@ -51,10 +51,10 @@ def _run_env(name, mm, steps=25, num_envs=4):
     assert obs.shape == (steps, num_envs, env.num_obs)
     assert bool(jnp.all(jnp.isfinite(obs))), f"{name}: non-finite obs"
     assert bool(jnp.all(jnp.isfinite(rew))), f"{name}: non-finite reward"
-    # episode_length=20 < steps: every env must have reset at least once
+    # episode_length < steps: every env must have reset at least once
     assert bool(jnp.any(done)), f"{name}: no env ever finished"
     # progress counters reset on done
-    assert int(jnp.max(state.progress)) <= 20
+    assert int(jnp.max(state.progress)) <= episode_length
     return env, obs
 
 
@@ -66,7 +66,7 @@ def test_env_smoke(name, mm):
 @slow
 @pytest.mark.parametrize("name,mm", SLOW_ENVS)
 def test_env_smoke_slow(name, mm):
-    _run_env(name, mm, steps=5)
+    _run_env(name, mm, steps=5, num_envs=2, episode_length=4)
 
 
 def test_obs_dims_match_reference():
