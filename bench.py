@@ -26,6 +26,34 @@ NUM_ENVS = 4096
 WARMUP_STEPS = 5
 MEASURE_STEPS = 60
 
+# hardware peaks for the roofline/MFU figures (docs/PERF_NOTES.md "MFU"):
+# TPU v5e: 197 TFLOP/s bf16 MXU peak, 819 GB/s HBM. The engine is
+# elementwise/bandwidth-dominated, so HBM utilization is the meaningful
+# roofline axis; MFU vs MXU peak is reported for completeness.
+_PEAKS = {
+    "TPU v5 lite": (197e12, 819e9),
+    "TPU v5e": (197e12, 819e9),
+    "TPU v4": (275e12, 1228e9),
+    "cpu": (None, None),
+}
+
+
+def _roofline(compiled, elapsed_per_call):
+    """flops + bytes from XLA cost analysis -> (mfu, hbm_util) or Nones."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        bytes_accessed = float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return None, None, None, None
+    kind = jax.devices()[0].device_kind
+    peak_flops, peak_bw = _PEAKS.get(kind, (None, None))
+    mfu = (flops / elapsed_per_call) / peak_flops if peak_flops else None
+    hbm = (bytes_accessed / elapsed_per_call) / peak_bw if peak_bw else None
+    return flops, bytes_accessed, mfu, hbm
+
 
 def main():
     env = envs.make(
@@ -60,16 +88,24 @@ def main():
     elapsed = time.perf_counter() - t0
 
     steps_per_s = MEASURE_STEPS * NUM_ENVS / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "ant_env_steps_per_s_per_chip_4096envs",
-                "value": round(steps_per_s, 1),
-                "unit": "env-steps/s",
-                "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 3),
-            }
-        )
+
+    out = {
+        "metric": "ant_env_steps_per_s_per_chip_4096envs",
+        "value": round(steps_per_s, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 3),
+    }
+    flops, bytes_accessed, mfu, hbm = _roofline(
+        step_fn.lower(state, key).compile(), elapsed / MEASURE_STEPS
     )
+    if flops is not None:
+        out["flops_per_env_step"] = round(flops / NUM_ENVS)
+        out["bytes_per_env_step"] = round(bytes_accessed / NUM_ENVS)
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+    if hbm is not None:
+        out["hbm_util"] = round(hbm, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

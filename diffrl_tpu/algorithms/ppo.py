@@ -439,34 +439,19 @@ class PPO:
     # ----------------------------------------------------------- evaluation
 
     def evaluate_policy(self, num_games, deterministic=True):
-        env = self.env
-        env_state = env.reset(jax.random.PRNGKey(self.seed + 1))
-        obs = env.batch_observations(env_state)
+        """Batched device-side evaluation (eval_utils.batched_eval)."""
+        from .eval_utils import batched_eval
 
-        @jax.jit
-        def step(env_state, obs, key):
-            key, k = jax.random.split(key)
+        def act_fn(obs, k):
             obs_n = self.obs_rms.normalize(obs) if self.obs_rms is not None else obs
             mu, sigma, _ = self.network(self.net_params, obs_n)
-            actions = mu if deterministic else mu + sigma * jax.random.normal(k, mu.shape)
-            env_state, obs, rew, done, _ = env.step(env_state, jnp.clip(actions, -1, 1))
-            return env_state, obs, rew, done, key
+            a = mu if deterministic else mu + sigma * jax.random.normal(k, mu.shape)
+            return jnp.clip(a, -1, 1)
 
-        key = self.key
-        ep_rew = np.zeros(self.num_envs)
-        ep_len = np.zeros(self.num_envs, dtype=int)
-        rews, lens = [], []
-        games = 0
-        while games < num_games:
-            env_state, obs, rew, done, key = step(env_state, obs, key)
-            ep_rew += np.asarray(rew)
-            ep_len += 1
-            for i in np.nonzero(np.asarray(done))[0]:
-                rews.append(ep_rew[i]); lens.append(ep_len[i])
-                ep_rew[i] = 0.0; ep_len[i] = 0
-                games += 1
-        self.key = key
-        return float(np.mean(rews)), float(np.mean(lens))
+        mean_rew, _, mean_len = batched_eval(
+            self.env, act_fn, jax.random.PRNGKey(self.seed + 1), num_games
+        )
+        return mean_rew, mean_len
 
     def run(self, num_games):
         mean_rew, mean_len = self.evaluate_policy(num_games)

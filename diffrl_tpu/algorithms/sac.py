@@ -10,10 +10,11 @@ sac_agent.py:263), uniform replay (vanilla_replay_buffer), obs normalization,
 
 TPU design: the replay buffer is a device-resident ring of [capacity, dim]
 arrays written with dynamic_update_slice (capacity rounded to a multiple of
-num_envs so block writes never wrap mid-batch); an entire epoch
-(num_steps_per_episode env steps, each followed by one gradient update on a
-uniformly sampled batch) is ONE jitted scan — there is no host<->device
-traffic inside the epoch.
+num_envs so block writes never wrap mid-batch; see algorithms/replay.py,
+which also provides the proportional-prioritized variant enabled by
+config.prioritized_replay); an entire epoch (num_steps_per_episode env
+steps, each followed by one gradient update on a sampled batch) is ONE
+jitted scan — there is no host<->device traffic inside the epoch.
 """
 
 from __future__ import annotations
@@ -34,6 +35,7 @@ from .. import envs as env_registry
 from ..models import DoubleCriticMLP, SACActor
 from ..utils import AverageMeter, RunningMeanStd, TimeReport, print_info
 from ..utils.tb import TBWriter
+from . import replay
 
 
 class SAC:
@@ -74,6 +76,11 @@ class SAC:
 
         cap = config.get("replay_buffer_size", 1_000_000)
         self.capacity = max(1, cap // self.num_envs) * self.num_envs
+        # proportional prioritized replay (rl_games PrioritizedReplayBuffer
+        # + segment_tree.py equivalent — algorithms/replay.py)
+        self.prioritized = config.get("prioritized_replay", False)
+        self.prio_alpha = config.get("priority_alpha", 0.6)
+        self.prio_beta = config.get("priority_beta", 0.4)
 
         self.log_dir = general.get("logdir", "./logs")
         os.makedirs(self.log_dir, exist_ok=True)
@@ -101,14 +108,9 @@ class SAC:
         self.obs_rms = RunningMeanStd.create((self.num_obs,)) if self.normalize_input else None
 
         self.env_state = self.env.reset(jax.random.PRNGKey(self.seed))
-        self.buffer = dict(
-            obs=jnp.zeros((self.capacity, self.num_obs), dtype=jnp.float32),
-            actions=jnp.zeros((self.capacity, self.num_actions), dtype=jnp.float32),
-            rews=jnp.zeros((self.capacity,), dtype=jnp.float32),
-            next_obs=jnp.zeros((self.capacity, self.num_obs), dtype=jnp.float32),
-            dones=jnp.zeros((self.capacity,), dtype=jnp.float32),
-            idx=jnp.asarray(0, dtype=jnp.int32),
-            count=jnp.asarray(0, dtype=jnp.int32),
+        self.buffer = replay.make_buffer(
+            self.capacity, self.num_obs, self.num_actions,
+            prioritized=self.prioritized,
         )
         self.episode_trackers = dict(
             ep_rew=jnp.zeros(self.num_envs),
@@ -136,21 +138,7 @@ class SAC:
         def norm(obs_rms, o):
             return obs_rms.normalize(o) if obs_rms is not None else o
 
-        def buffer_add(buf, obs, actions, rews, next_obs, dones):
-            i = buf["idx"]
-            buf = dict(
-                buf,
-                obs=lax.dynamic_update_slice(buf["obs"], obs, (i, 0)),
-                actions=lax.dynamic_update_slice(buf["actions"], actions, (i, 0)),
-                rews=lax.dynamic_update_slice(buf["rews"], rews, (i,)),
-                next_obs=lax.dynamic_update_slice(buf["next_obs"], next_obs, (i, 0)),
-                dones=lax.dynamic_update_slice(buf["dones"], dones, (i,)),
-                idx=(i + E) % self.capacity,
-                count=jnp.minimum(buf["count"] + E, self.capacity),
-            )
-            return buf
-
-        def update_step(learner, batch, key):
+        def update_step(learner, batch, weights, key):
             (actor_params, critic_params, target_params, log_alpha,
              a_opt, c_opt, al_opt, obs_rms) = learner
             obs, actions, rews, next_obs, dones = batch
@@ -170,11 +158,16 @@ class SAC:
 
             def critic_loss(cp):
                 q1, q2 = self.critic(cp, obs_n, actions)
-                return ((q1[..., 0] - target_q) ** 2).mean() + (
-                    (q2[..., 0] - target_q) ** 2
-                ).mean()
+                d1 = q1[..., 0] - target_q
+                d2 = q2[..., 0] - target_q
+                # weights = IS correction for prioritized replay (all-ones
+                # under uniform sampling); td returned for priority updates
+                loss = (weights * d1**2).mean() + (weights * d2**2).mean()
+                return loss, 0.5 * (jnp.abs(d1) + jnp.abs(d2))
 
-            c_loss, c_grads = jax.value_and_grad(critic_loss)(critic_params)
+            (c_loss, td_err), c_grads = jax.value_and_grad(
+                critic_loss, has_aux=True
+            )(critic_params)
             c_updates, c_opt = self.critic_opt.update(c_grads, c_opt, critic_params)
             critic_params = optax.apply_updates(critic_params, c_updates)
 
@@ -210,7 +203,7 @@ class SAC:
 
             learner = (actor_params, critic_params, target_params, log_alpha,
                        a_opt, c_opt, al_opt, obs_rms)
-            return learner, (c_loss, a_loss, jnp.exp(log_alpha))
+            return learner, (c_loss, a_loss, jnp.exp(log_alpha)), td_err
 
         def train_epoch(learner, env_state, buffer, trackers, key, seed_phase: bool):
             def step_fn(carry, _):
@@ -242,22 +235,26 @@ class SAC:
                     jnp.nan_to_num(info["obs_before_reset"], 0.0, 0.0, 0.0),
                     -1e6, 1e6,
                 )
-                buffer = buffer_add(
+                buffer = replay.add(
                     buffer, obs, actions, rew, next_obs,
                     done.astype(jnp.float32),
                 )
 
                 if not seed_phase:
-                    n = jnp.maximum(buffer["count"], 1)
-                    idx = jax.random.randint(
-                        k_batch, (self.batch_size,), 0, n
+                    if self.prioritized:
+                        idx, batch, weights = replay.sample_prioritized(
+                            buffer, k_batch, self.batch_size,
+                            alpha=self.prio_alpha, beta=self.prio_beta,
+                        )
+                    else:
+                        idx, batch, weights = replay.sample_uniform(
+                            buffer, k_batch, self.batch_size
+                        )
+                    learner, losses, td_err = update_step(
+                        learner, batch, weights, k_upd
                     )
-                    batch = (
-                        buffer["obs"][idx], buffer["actions"][idx],
-                        buffer["rews"][idx], buffer["next_obs"][idx],
-                        buffer["dones"][idx],
-                    )
-                    learner, losses = update_step(learner, batch, k_upd)
+                    if self.prioritized:
+                        buffer = replay.update_priorities(buffer, idx, td_err)
                 else:
                     losses = (jnp.asarray(0.0), jnp.asarray(0.0),
                               jnp.exp(learner[3]))
@@ -360,36 +357,20 @@ class SAC:
     # ----------------------------------------------------------- evaluation
 
     def evaluate_policy(self, num_games, deterministic=True):
-        env = self.env
-        env_state = env.reset(jax.random.PRNGKey(self.seed + 1))
-        obs = env.batch_observations(env_state)
+        """Batched device-side evaluation (eval_utils.batched_eval)."""
+        from .eval_utils import batched_eval
 
-        @jax.jit
-        def step(env_state, obs, key):
-            key, k = jax.random.split(key)
+        def act_fn(obs, k):
             obs_n = self.obs_rms.normalize(obs) if self.obs_rms is not None else obs
             if deterministic:
-                a = self.actor.mean_action(self.actor_params, obs_n)
-            else:
-                a, _ = self.actor.sample(self.actor_params, obs_n, k)
-            env_state, obs, rew, done, _ = env.step(env_state, a)
-            return env_state, obs, rew, done, key
+                return self.actor.mean_action(self.actor_params, obs_n)
+            a, _ = self.actor.sample(self.actor_params, obs_n, k)
+            return a
 
-        key = self.key
-        ep_rew = np.zeros(self.num_envs)
-        ep_len = np.zeros(self.num_envs, dtype=int)
-        rews, lens = [], []
-        games = 0
-        while games < num_games:
-            env_state, obs, rew, done, key = step(env_state, obs, key)
-            ep_rew += np.asarray(rew)
-            ep_len += 1
-            for i in np.nonzero(np.asarray(done))[0]:
-                rews.append(ep_rew[i]); lens.append(ep_len[i])
-                ep_rew[i] = 0.0; ep_len[i] = 0
-                games += 1
-        self.key = key
-        return float(np.mean(rews)), float(np.mean(lens))
+        mean_rew, _, mean_len = batched_eval(
+            self.env, act_fn, jax.random.PRNGKey(self.seed + 1), num_games
+        )
+        return mean_rew, mean_len
 
     def run(self, num_games):
         mean_rew, mean_len = self.evaluate_policy(num_games)

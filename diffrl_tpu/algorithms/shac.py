@@ -571,14 +571,12 @@ class SHAC:
     # ----------------------------------------------------------- evaluation
 
     def evaluate_policy(self, num_games, deterministic=False):
-        env = self.env
-        key = self.key
-        env_state = env.reset(jax.random.PRNGKey(self.seed + 1))
-        obs = env.batch_observations(env_state)
+        """Device-side batched evaluation (see eval_utils.batched_eval):
+        chunks of steps run in one jitted scan with episode stats reduced on
+        device — one dispatch + one sync per chunk, not per step."""
+        from .eval_utils import batched_eval
 
-        @jax.jit
-        def step(env_state, obs, key):
-            key, k = jax.random.split(key)
+        def act_fn(obs, k):
             obs_n = self.obs_rms.normalize(obs) if self.obs_rms is not None else obs
             if self.stochastic_actor:
                 a = self.actor(self.actor_params, obs_n,
@@ -586,38 +584,13 @@ class SHAC:
                                deterministic=deterministic)
             else:
                 a = self.actor(self.actor_params, obs_n)
-            env_state, obs, rew, done, _ = env.step(env_state, jnp.tanh(a))
-            return env_state, obs, rew, done, key
+            return jnp.tanh(a)
 
-        ep_loss = np.zeros(self.num_envs)
-        ep_disc = np.zeros(self.num_envs)
-        ep_gamma = np.ones(self.num_envs)
-        ep_len = np.zeros(self.num_envs, dtype=int)
-        loss_his, disc_his, len_his = [], [], []
-        games = 0
-        while games < num_games:
-            env_state, obs, rew, done, key = step(env_state, obs, key)
-            rew_np = np.asarray(rew)
-            done_np = np.asarray(done)
-            ep_loss -= rew_np
-            ep_disc -= ep_gamma * rew_np
-            ep_gamma *= self.gamma
-            ep_len += 1
-            for i in np.nonzero(done_np)[0]:
-                loss_his.append(ep_loss[i])
-                disc_his.append(ep_disc[i])
-                len_his.append(ep_len[i])
-                ep_loss[i] = 0.0
-                ep_disc[i] = 0.0
-                ep_gamma[i] = 1.0
-                ep_len[i] = 0
-                games += 1
-        self.key = key
-        return (
-            float(np.mean(loss_his)),
-            float(np.mean(disc_his)),
-            float(np.mean(len_his)),
+        mean_rew, mean_disc, mean_len = batched_eval(
+            self.env, act_fn, jax.random.PRNGKey(self.seed + 1), num_games,
+            gamma=self.gamma,
         )
+        return -mean_rew, -mean_disc, mean_len
 
     def run(self, num_games):
         mean_loss, mean_disc, mean_len = self.evaluate_policy(num_games)

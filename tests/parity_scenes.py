@@ -99,6 +99,42 @@ def _particle_ground(b, T):
     return {}
 
 
+def _arm7(b, T):
+    """7-dof fixed-base serial arm with PD joint targets and limits — the
+    franka/allegro-style articulated-arm rig (reference
+    dflex/tests/test_franka.py analog, procedurally built)."""
+    b.add_articulation()
+    axes = [(0.0, 0.0, 1.0), (0.0, 1.0, 0.0), (1.0, 0.0, 0.0),
+            (0.0, 1.0, 0.0), (1.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+            (0.0, 0.0, 1.0)]
+    parent = -1
+    for i, ax in enumerate(axes):
+        offset = (0.0, 1.2, 0.0) if i == 0 else (0.3, 0.0, 0.0)
+        parent = b.add_link(
+            parent, T(offset, QI), axis=ax, type=REVOLUTE,
+            limit_lower=-1.8, limit_upper=1.8, limit_ke=200.0, limit_kd=5.0,
+            stiffness=30.0, damping=2.0, armature=0.02,
+        )
+        b.add_shape_capsule(parent, pos=(0.15, 0.0, 0.0), radius=0.05,
+                            half_width=0.15, density=800.0)
+    # bent start pose + offset PD targets drive a smooth reaching motion
+    for i in range(7):
+        b.joint_q[i] = 0.25 * ((-1) ** i)
+        b.joint_target[i] = 0.6 * ((-1) ** (i + 1))
+    return {}
+
+
+def _fem_block(b, T):
+    """Soft FEM grid dropped on the ground (reference test_fem_contact
+    analog): tets + surface triangles + particle-ground contact."""
+    b.add_soft_grid(
+        pos=(0.0, 0.4, 0.0), rot=QI, vel=(0.0, 0.0, 0.0),
+        dim_x=2, dim_y=2, dim_z=2, cell_x=0.1, cell_y=0.1, cell_z=0.1,
+        density=100.0, k_mu=1000.0, k_lambda=1000.0, k_damp=5.0,
+    )
+    return {}
+
+
 SCENES = {
     "pendulum2": dict(build=_pendulum2, ground=False, dt=1.0 / 60.0,
                       substeps=4, mm_freq=4, steps=90),
@@ -120,6 +156,12 @@ SCENES = {
                             dt=1.0 / 60.0, substeps=8, steps=90,
                             materials=dict(contact_ke=1.0e3, contact_kd=0.0,
                                            contact_kf=1.0e3, contact_mu=0.5)),
+    "arm7": dict(build=_arm7, ground=False, dt=1.0 / 60.0,
+                 substeps=8, mm_freq=8, steps=90),
+    "fem_block": dict(build=_fem_block, ground=True, dt=1.0 / 60.0,
+                      substeps=16, steps=60,
+                      materials=dict(contact_ke=1.0e3, contact_kd=10.0,
+                                     contact_kf=100.0, contact_mu=0.5)),
 }
 
 
@@ -162,6 +204,21 @@ def builder_spec(b):
         shape_geo_scale=arr(b.shape_geo_scale),
         shape_materials=arr(b.shape_materials),
         shape_transform=arr(b.shape_transform),
+        muscles=[
+            dict(
+                links=[int(l) for l in
+                       b.muscle_links[b.muscle_start[i]:b.muscle_start[i + 1]]]
+                if i + 1 < len(b.muscle_start)
+                else [int(l) for l in b.muscle_links[b.muscle_start[i]:]],
+                points=arr(
+                    b.muscle_points[b.muscle_start[i]:b.muscle_start[i + 1]]
+                    if i + 1 < len(b.muscle_start)
+                    else b.muscle_points[b.muscle_start[i]:]
+                ),
+                params=[float(v) for v in b.muscle_params[i]],
+            )
+            for i in range(len(b.muscle_params))
+        ],
     )
 
 
@@ -200,6 +257,39 @@ def _env_builder(env_name):
                                                        -_math.pi * 0.5)),
                   floating=False, shape_kd=1.0e4, limit_kd=1.0)
         b.joint_q[1] = -_math.pi
+    elif env_name == "Humanoid":
+        from diffrl_tpu.sim.importers.mjcf import parse_mjcf
+
+        parse_mjcf(_os.path.join(_assets, "humanoid.xml"), b,
+                   stiffness=5.0, damping=0.1, contact_ke=2.0e4,
+                   contact_kd=5.0e3, contact_kf=1.0e3, contact_mu=0.75,
+                   limit_ke=1.0e3, limit_kd=1.0e1, armature=0.007,
+                   load_stiffness=True, load_armature=True)
+        b.joint_q[0:3] = [0.0, 1.35, 0.0]
+        b.joint_q[3:7] = list(np_quat_from_axis_angle((1.0, 0.0, 0.0),
+                                                      -_math.pi * 0.5))
+    elif env_name == "SNUHumanoid":
+        from diffrl_tpu.envs.snu_humanoid import _FILTER
+        from diffrl_tpu.sim.importers.snu import SnuGains, load_snu
+
+        snu_dir = _os.path.join(_assets, "snu")
+        loaded = load_snu(
+            _os.path.join(snu_dir, "human.xml"),
+            _os.path.join(snu_dir, "muscle284.xml"),
+            b, include=_FILTER,
+            gains=SnuGains(joint_stiffness=5.0, joint_damping=2.0,
+                           joint_armature=0.05, limit_ke=1.0e3,
+                           limit_kd=1.0e1, shape_ke=5.0e3, shape_kd=2.0e3,
+                           shape_kf=1.0e3, shape_mu=0.5),
+        )
+        b.joint_q[0:3] = [0.0, 1.0, 0.0]
+        b.joint_q[3:7] = list(np_quat_from_axis_angle((0.0, 1.0, 0.0),
+                                                      _math.pi * 0.5))
+        D = len(b.joint_qd)
+        act = _np.zeros(D, dtype=_np.float32)
+        # constant sub-maximal activations exercise the 152-MTU path
+        mus_act = [0.05 * m.peak_force for m in loaded.muscles]
+        return b, act, mus_act
     else:
         raise KeyError(env_name)
 
@@ -207,9 +297,11 @@ def _env_builder(env_name):
     act = _np.zeros(D, dtype=_np.float32)
     if env_name == "Ant":
         act[6:] = 40.0 * _np.sin(_np.arange(8))       # constant test torques
+    elif env_name == "Humanoid":
+        act[6:] = 25.0 * _np.sin(_np.arange(D - 6))
     else:
         act[0] = 120.0
-    return b, act
+    return b, act, None
 
 
 ENV_SCENES = {
@@ -217,4 +309,8 @@ ENV_SCENES = {
                               dt=1.0 / 60.0, substeps=4, mm_freq=4, steps=60),
     "env_ant_mjcf": dict(env="Ant", ground=True, dt=1.0 / 60.0,
                          substeps=16, mm_freq=16, steps=40),
+    "env_humanoid_mjcf": dict(env="Humanoid", ground=True, dt=1.0 / 60.0,
+                              substeps=48, mm_freq=48, steps=16),
+    "env_snu_muscles": dict(env="SNUHumanoid", ground=True, dt=1.0 / 60.0,
+                            substeps=48, mm_freq=48, steps=16),
 }

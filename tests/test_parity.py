@@ -30,6 +30,7 @@ TOL = {
     "freefall_box": (1e-4, 5e-3),     # ground contacts: stiff penalty forces
     "ball_joint": (1e-5, 1e-4),
     "particle_ground": (1e-5, 1e-4),
+    "fem_block": (1e-4, 5e-3),        # FEM tets + ground contact
     "default": (1e-5, 1e-4),
 }
 
@@ -94,9 +95,12 @@ def test_env_model_parity(name):
     scene = ENV_SCENES[name]
     fix = np.load(os.path.join(FIXTURES, f"{name}.npz"))
 
-    b, joint_act = _env_builder(scene["env"])
+    b, joint_act, mus_act = _env_builder(scene["env"])
     model = dataclasses.replace(b.finalize(), ground=scene["ground"])
     act = jnp.asarray(joint_act)
+    muscle_act = (
+        jnp.asarray(mus_act, dtype=jnp.float32) if mus_act is not None else None
+    )
 
     dt = scene["dt"]
     ss = scene["substeps"]
@@ -106,14 +110,21 @@ def test_env_model_parity(name):
     @jax.jit
     def roll(state):
         def body(s, _):
-            s2 = simulate(model, s, joint_act=act, dt=dt, substeps=ss,
-                          mass_matrix_freq=mm)
+            s2 = simulate(model, s, joint_act=act, muscle_act=muscle_act,
+                          dt=dt, substeps=ss, mass_matrix_freq=mm)
             return s2, (s2.joint_q, s2.joint_qd)
         _, out = jax.lax.scan(body, state, None, length=steps)
         return out
 
     q, qd = roll(model.state())
     got = np.asarray(q)
-    # contact-rich ant accumulates f32 noise fastest; early window is strict
-    np.testing.assert_allclose(got[:15], fix["joint_q"][:15], atol=2e-4)
-    np.testing.assert_allclose(got, fix["joint_q"], atol=2e-2)
+    # tolerances sized from the measured divergence envelope
+    # (tools/parity_divergence.py, docs/PARITY.md "Divergence rates"):
+    # ant max|dq| vs the reference engine is 4.8e-7 @step15, 5.2e-6 @step40,
+    # growing at ~e^{0.15/step} from f32 contact chaos — the bounds below
+    # keep ~20x headroom for platform rounding differences. Humanoid/SNU
+    # integrate 48 substeps/step (3x the f32 work per step): 10x band.
+    deep = scene["env"] in ("Humanoid", "SNUHumanoid")
+    early_tol, full_tol = (1e-4, 1e-3) if deep else (1e-5, 1e-4)
+    np.testing.assert_allclose(got[:15], fix["joint_q"][:15], atol=early_tol)
+    np.testing.assert_allclose(got, fix["joint_q"], atol=full_tol)

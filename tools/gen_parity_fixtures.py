@@ -21,6 +21,12 @@ import sys
 
 import numpy as np
 
+# host-side work only: never let the diffrl_tpu imports grab the TPU (a
+# concurrent TPU client interferes with any running job — axon gotcha)
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
@@ -53,6 +59,10 @@ def replay_spec_into_reference(df, spec):
     b.shape_geo_scale = [tuple(s) for s in spec["shape_geo_scale"]]
     b.shape_geo_src = [None] * len(spec["shape_body"])
     b.shape_materials = [tuple(m) for m in spec["shape_materials"]]
+    for m in spec.get("muscles", []):
+        b.add_muscle([int(l) for l in m["links"]],
+                     [np.array(p) for p in m["points"]],
+                     *m["params"])
     return b
 
 
@@ -81,9 +91,11 @@ def main():
 
     for name, scene in all_scenes.items():
         if scene.get("env_scene"):
-            our_builder, joint_act = _env_builder(scene["env"])
+            our_builder, joint_act, mus_act = _env_builder(scene["env"])
             builder = replay_spec_into_reference(df, builder_spec(our_builder))
             spec = {"joint_act": joint_act}
+            if mus_act is not None:
+                spec["muscle_activation"] = mus_act
         else:
             builder = df.sim.ModelBuilder()
             spec = scene["build"](builder, T)

@@ -97,9 +97,25 @@ def main():
 
     ckpt_body = jax.checkpoint(body, prevent_cse=False)
 
+    # diagnostic: how much of the backward is the mass-cache (H, Hinv)
+    # cotangent (outer-product materialization in solve_frozen_inv's VJP
+    # per cached substep)? stop_gradient'ing the cache removes exactly that.
+    def body_nohgrad(c, _):
+        HLs = jax.lax.stop_gradient(HL)
+        s, _ = jax.vmap(
+            lambda q1, qd1, a1, H1, L1: coupled_substep(
+                model, State(joint_q=q1, joint_qd=qd1), a1, None, h,
+                mass_cache=(H1, L1),
+            )
+        )(c[0], c[1], c[2], HLs[0], HLs[1])
+        return (s.joint_q, s.joint_qd, c[2]), None
+
+    ckpt_body_nohgrad = jax.checkpoint(body_nohgrad, prevent_cse=False)
+
     variants = {
         "scan plain": mk_loss(body),
         "scan ckpt": mk_loss(ckpt_body),
+        "scan ckpt noHgrad": mk_loss(ckpt_body_nohgrad),
         "scan ckpt unroll4": mk_loss(ckpt_body, unroll=4),
         "unrolled plain": mk_loss(body, use_scan=False),
         "unrolled ckpt": mk_loss(ckpt_body, use_scan=False),
