@@ -67,6 +67,7 @@ class BPTT:
             episode_length=params["diff_env"].get("episode_length", 250),
             stochastic_init=params["diff_env"].get("stochastic_env", False),
             MM_caching_frequency=params["diff_env"].get("MM_caching_frequency", 1),
+            sim_backward=params["diff_env"].get("sim_backward"),
         )
 
         self.num_envs = self.env.num_envs

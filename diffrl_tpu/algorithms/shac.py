@@ -52,6 +52,7 @@ class SHAC:
             episode_length=params["diff_env"].get("episode_length", 250),
             stochastic_init=params["diff_env"].get("stochastic_env", True),
             MM_caching_frequency=params["diff_env"].get("MM_caching_frequency", 1),
+            sim_backward=params["diff_env"].get("sim_backward"),
         )
         self.env = env_registry.make(env_name, **env_kwargs)
 

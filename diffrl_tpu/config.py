@@ -27,6 +27,12 @@ no_grad = False
 check_grad = False
 verify_fp = False
 
+# Which reverse pass envs use through the simulator: "remat" (autodiff
+# through the substep scan with per-substep jax.checkpoint) or "manual"
+# (hand-written VJP, sim/articulation.py:_simulate_manual). Same gradient
+# values either way; see docs/PERF_NOTES.md for measurements.
+default_sim_backward = "remat"
+
 
 def enable_fp_verification(enable: bool = True):
     """Raise on any NaN produced inside jitted computations."""

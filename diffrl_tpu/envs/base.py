@@ -94,6 +94,7 @@ class DiffEnv:
         render: bool = False,
         device=None,
         remat_granularity: int = 1,
+        sim_backward: Optional[str] = None,
     ):
         self.num_envs = num_envs
         self.seed = seed
@@ -103,6 +104,14 @@ class DiffEnv:
         self.early_termination = early_termination
         self.visualize = render
         self.remat_granularity = remat_granularity
+        # "remat" = autodiff through scan + per-substep jax.checkpoint;
+        # "manual" = hand-written reverse pass (sim/articulation.py
+        # _simulate_manual). None defers to the library default.
+        from .. import config as _config
+        self.sim_backward = (
+            sim_backward if sim_backward is not None
+            else _config.default_sim_backward
+        )
 
         self.model: Model = self.build_model()
 
@@ -186,6 +195,7 @@ class DiffEnv:
                 substeps=self.sim_substeps,
                 mass_matrix_freq=self.mm_caching_frequency,
                 remat_granularity=self.remat_granularity,
+                backward=self.sim_backward,
             )
             return s.joint_q, s.joint_qd
 

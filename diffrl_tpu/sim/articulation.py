@@ -740,6 +740,146 @@ def coupled_substep(model: Model, state: State, joint_act, muscle_act, dt,
     return State(joint_q=q_new, joint_qd=qd_new, particle_q=px, particle_qd=pv), HL
 
 
+def _simulate_manual(
+    model: Model,
+    state: State,
+    joint_act,
+    muscle_act,
+    dt: float,
+    substeps: int,
+    mass_matrix_freq: int,
+) -> State:
+    """`simulate` with a HAND-WRITTEN reverse pass (articulations only).
+
+    The autodiff path (scan-of-blocks + per-substep ``jax.checkpoint``)
+    measured ~0.95 ms/substep backward vs 0.14 forward on Ant@4096 — yet a
+    single substep's VJP costs only ~1.2-1.5x its forward
+    (docs/PERF_NOTES.md). The residue is XLA's transposed-nested-scan
+    machinery (reverse while loops over remat regions). This path replaces
+    it outright — the reference analog is the Tape replaying one adjoint
+    kernel sequence per substep (/root/reference/dflex/dflex/sim.py:2086-2154,
+    adjoint.py:2153-2199):
+
+    - forward: plain scan saving each substep's tiny pre-state (q, qd — the
+      only true residues; everything else is recomputed) and each block's
+      (H, H^-1);
+    - backward: ONE flat reverse scan whose body does substep-forward +
+      cotangent application via ``jax.vjp`` on the saved pre-state —
+      identical math to the remat path (same frozen-factor conventions via
+      ``solve_frozen_inv``), but flat control flow and explicit residuals.
+
+    Gradients flow to (state, joint_act, muscle_act) only; Model arrays are
+    treated as constants (true for every training path — the reference's
+    model.flatten() grads exist but are unused by SHAC/BPTT).
+    """
+    if substeps % mass_matrix_freq != 0:
+        raise ValueError("substeps must be a multiple of mass_matrix_freq")
+    nblocks = substeps // mass_matrix_freq
+    n_inner = mass_matrix_freq - 1
+    h = dt / float(substeps)
+
+    has_muscles = muscle_act is not None
+    ma_in = muscle_act if has_muscles else jnp.zeros((0,), jnp.float32)
+    if joint_act is None:
+        joint_act = jnp.zeros((model.dof_count,), dtype=jnp.float32)
+
+    def refresh_step(q, qd, ja, ma):
+        qn, qdn, (H, Hinv) = articulation_substep(
+            model, q, qd, ja, ma if has_muscles else None, h
+        )
+        return qn, qdn, H, Hinv
+
+    def cached_step(q, qd, ja, ma, H, Hinv):
+        qn, qdn, _ = articulation_substep(
+            model, q, qd, ja, ma if has_muscles else None, h,
+            mass_cache=(H, Hinv),
+        )
+        return qn, qdn
+
+    def fwd_scan(q, qd, ja, ma):
+        def block(carry, _):
+            q0, qd0 = carry
+            q1, qd1, H, Hinv = refresh_step(q0, qd0, ja, ma)
+
+            def inner(c, _):
+                qq, qqd = c
+                qn, qdn = cached_step(qq, qqd, ja, ma, H, Hinv)
+                return (qn, qdn), (qq, qqd)
+
+            if n_inner > 0:
+                (qf, qdf), (qs, qds) = lax.scan(
+                    inner, (q1, qd1), None, length=n_inner
+                )
+            else:
+                qf, qdf = q1, qd1
+                qs = jnp.zeros((0,) + q1.shape, q1.dtype)
+                qds = jnp.zeros((0,) + qd1.shape, qd1.dtype)
+            return (qf, qdf), (q0, qd0, qs, qds, H, Hinv)
+
+        return lax.scan(block, (q, qd), None, length=nblocks)
+
+    @jax.custom_vjp
+    def run(q, qd, ja, ma):
+        (qf, qdf), _ = fwd_scan(q, qd, ja, ma)
+        return qf, qdf
+
+    def run_fwd(q, qd, ja, ma):
+        (qf, qdf), saved = fwd_scan(q, qd, ja, ma)
+        return (qf, qdf), (saved, ja, ma)
+
+    def run_bwd(res, g):
+        saved, ja, ma = res
+        g_q, g_qd = g
+
+        def block_bwd(carry, xs):
+            gq, gqd, gja, gma = carry
+            q0, qd0, qs_b, qds_b, H, Hinv = xs
+
+            def inner_bwd(c, x):
+                cq, cqd, cja, cma, cH = c
+                qq, qqd = x
+                _, vjp = jax.vjp(
+                    lambda q_, qd_, ja_, ma_, H_: cached_step(
+                        q_, qd_, ja_, ma_, H_, Hinv
+                    ),
+                    qq, qqd, ja, ma, H,
+                )
+                dq, dqd, dja, dma, dH = vjp((cq, cqd))
+                return (dq, dqd, cja + dja, cma + dma, cH + dH), None
+
+            if n_inner > 0:
+                (gq, gqd, gja, gma, gH), _ = lax.scan(
+                    inner_bwd,
+                    (gq, gqd, gja, gma, jnp.zeros_like(H)),
+                    (qs_b, qds_b),
+                    reverse=True,
+                )
+            else:
+                gH = jnp.zeros_like(H)
+
+            # refresh: outputs (q1, qd1, H); Hinv is frozen by convention
+            # (chol backward = nop, matnn.h:310-336) so it takes no cotangent
+            _, vjp = jax.vjp(
+                lambda q_, qd_, ja_, ma_: refresh_step(q_, qd_, ja_, ma_)[:3],
+                q0, qd0, ja, ma,
+            )
+            dq, dqd, dja, dma = vjp((gq, gqd, gH))
+            return (dq, dqd, gja + dja, gma + dma), None
+
+        zero_carry = (g_q, g_qd, jnp.zeros_like(ja), jnp.zeros_like(ma))
+        (g_q, g_qd, g_ja, g_ma), _ = lax.scan(
+            block_bwd, zero_carry, saved, reverse=True
+        )
+        return g_q, g_qd, g_ja, g_ma
+
+    run.defvjp(run_fwd, run_bwd)
+    q, qd = run(state.joint_q, state.joint_qd, joint_act, ma_in)
+    return State(
+        joint_q=q, joint_qd=qd,
+        particle_q=state.particle_q, particle_qd=state.particle_qd,
+    )
+
+
 def simulate(
     model: Model,
     state: State,
@@ -750,6 +890,7 @@ def simulate(
     mass_matrix_freq: int = 1,
     remat: bool = True,
     remat_granularity: int = 1,
+    backward: str = "remat",
 ) -> State:
     """Advance one env step = `substeps` substeps of size dt/substeps.
 
@@ -768,7 +909,17 @@ def simulate(
     to (8, 128) lanes — and the resulting HBM round-trip ran the backward at
     ~10x forward cost (docs/PERF_NOTES.md backward characterization); the
     per-substep policy replaces that traffic with ~2x recompute FLOPs.
+
+    ``backward="manual"`` selects the hand-written reverse pass
+    (:func:`_simulate_manual`) — same gradient values, flat reverse scan
+    instead of XLA's transposed nested scans. Articulation-only scenes;
+    falls back to the remat path when particles are present.
     """
+    if backward == "manual" and state.particle_q is None:
+        return _simulate_manual(
+            model, state, joint_act, muscle_act, dt, substeps,
+            mass_matrix_freq,
+        )
     if substeps % mass_matrix_freq != 0:
         raise ValueError("substeps must be a multiple of mass_matrix_freq")
     nblocks = substeps // mass_matrix_freq

@@ -311,3 +311,78 @@ def test_gradcheck_muscles():
 
     config.gradcheck(loss, (q0, a0), eps=1e-4, rtol=5e-2, atol=1e-2, argnums=0)
     config.gradcheck(loss, (q0, a0), eps=1e-4, rtol=5e-2, atol=1e-2, argnums=1)
+
+
+# ---------------------------------------------------------------------------
+# manual (hand-written) simulate VJP == autodiff/remat VJP
+# ---------------------------------------------------------------------------
+
+def _grads_through_simulate(m, q0, qd0, ja, ma, backward, substeps=8, mm=4):
+    from diffrl_tpu.sim import simulate
+    from diffrl_tpu.sim.model import State
+
+    def loss(q, qd, a, mu):
+        s = simulate(m, State(joint_q=q, joint_qd=qd), joint_act=a,
+                     muscle_act=mu, dt=1 / 60, substeps=substeps,
+                     mass_matrix_freq=mm, backward=backward)
+        w = jnp.cos(jnp.arange(s.joint_q.shape[-1], dtype=jnp.float32))
+        return jnp.sum(s.joint_q * w) + 0.5 * jnp.sum(s.joint_qd ** 2)
+
+    argnums = (0, 1, 2) if ma is None else (0, 1, 2, 3)
+    args = (q0, qd0, ja) if ma is None else (q0, qd0, ja, ma)
+    if ma is None:
+        fn = lambda q, qd, a: loss(q, qd, a, None)
+    else:
+        fn = loss
+    val = jax.jit(fn)(*args)
+    grads = jax.jit(jax.grad(fn, argnums=argnums))(*args)
+    return float(val), [np.asarray(g) for g in grads]
+
+
+def test_manual_backward_matches_remat_ant(ant_settled):
+    """The hand-written reverse pass (_simulate_manual) computes the SAME
+    gradients as autodiff through the remat scan, through a contact-rich
+    Ant state with mass-matrix caching active."""
+    env, state, _ = ant_settled
+    m = env.model
+    q0, qd0 = state.joint_q[0], state.joint_qd[0]
+    ja = jnp.asarray(
+        np.random.RandomState(7).uniform(-30, 30, m.dof_count)
+        .astype(np.float32))
+
+    v_r, g_r = _grads_through_simulate(m, q0, qd0, ja, None, "remat")
+    v_m, g_m = _grads_through_simulate(m, q0, qd0, ja, None, "manual")
+    assert abs(v_r - v_m) <= 1e-4 * max(1.0, abs(v_r))
+    for a, b in zip(g_r, g_m):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_manual_backward_matches_remat_muscles():
+    """Same check through the muscle path (muscle_act cotangent) and the
+    mass_matrix_freq=1 (refresh-every-substep) layout."""
+    b = ModelBuilder()
+    b.add_articulation()
+    l0 = b.add_link(-1, np.array([0.0, 1.0, 0.0, *QI]), axis=(0.0, 0.0, 1.0),
+                    type=REVOLUTE)
+    b.add_shape_capsule(l0, pos=(0.25, 0.0, 0.0), radius=0.05,
+                        half_width=0.25, density=500.0)
+    l1 = b.add_link(l0, np.array([0.5, 0.0, 0.0, *QI]), axis=(0.0, 0.0, 1.0),
+                    type=REVOLUTE)
+    b.add_shape_capsule(l1, pos=(0.25, 0.0, 0.0), radius=0.05,
+                        half_width=0.25, density=500.0)
+    b.add_muscle([l0, l1], [np.array([0.05, 0.05, 0.0]),
+                            np.array([0.2, 0.05, 0.0])],
+                 f0=10.0, lm=0.3, lt=0.1, lmax=0.5, pen=0.0)
+    m = _finalize(b)
+
+    q0 = jnp.asarray([0.3, -0.4], dtype=jnp.float32)
+    qd0 = jnp.asarray([0.1, 0.2], dtype=jnp.float32)
+    ja = jnp.asarray([0.5, -0.5], dtype=jnp.float32)
+    ma = jnp.asarray([0.7], dtype=jnp.float32)
+
+    for mm in (1, 4):
+        v_r, g_r = _grads_through_simulate(m, q0, qd0, ja, ma, "remat", mm=mm)
+        v_m, g_m = _grads_through_simulate(m, q0, qd0, ja, ma, "manual", mm=mm)
+        assert abs(v_r - v_m) <= 1e-4 * max(1.0, abs(v_r))
+        for a, b_ in zip(g_r, g_m):
+            np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-5)
