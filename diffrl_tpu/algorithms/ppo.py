@@ -36,26 +36,30 @@ from jax import lax
 
 from .. import envs as env_registry
 from ..models import ActorCriticPPO
+from ..models.builders import A2CNetwork
 from ..utils import AverageMeter, RunningMeanStd, TimeReport, print_info
 from ..utils.tb import TBWriter
 
 
 class PPO:
-    def __init__(self, cfg: Dict[str, Any]):
+    def __init__(self, cfg: Dict[str, Any], env=None):
         params = cfg["params"]
         general = params.get("general", {})
         config = params["config"]
 
         self.seed = general.get("seed", 0)
-        env_name = params["diff_env"]["name"]
-        self.env = env_registry.make(
-            env_name,
-            num_envs=config["num_actors"],
-            seed=self.seed,
-            episode_length=params["diff_env"].get("episode_length", 1000),
-            stochastic_init=params["diff_env"].get("stochastic_env", True),
-            MM_caching_frequency=params["diff_env"].get("MM_caching_frequency", 1),
-        )
+        if env is not None:
+            self.env = env
+        else:
+            env_name = params["diff_env"]["name"]
+            self.env = env_registry.make(
+                env_name,
+                num_envs=config["num_actors"],
+                seed=self.seed,
+                episode_length=params["diff_env"].get("episode_length", 1000),
+                stochastic_init=params["diff_env"].get("stochastic_env", True),
+                MM_caching_frequency=params["diff_env"].get("MM_caching_frequency", 1),
+            )
         self.num_envs = self.env.num_envs
         self.num_obs = self.env.num_obs
         self.num_actions = self.env.num_acts
@@ -90,9 +94,29 @@ class PPO:
         os.makedirs(self.log_dir, exist_ok=True)
         self.save_interval = config.get("save_frequency", 400)
 
-        self.network = ActorCriticPPO(
-            self.num_obs, self.num_actions, params.get("network", {})
+        # Network selection: the validated dflex path uses the shared-trunk
+        # continuous ActorCriticPPO; any cnn/rnn/discrete request in the
+        # network tree switches to the config-driven A2CNetwork builder
+        # (rl_games network_builder.py parity, models/builders.py)
+        net_cfg = params.get("network", {})
+        space = net_cfg.get("space", {})
+        self.use_builder = (
+            "discrete" in space or "multi_discrete" in space
+            or "cnn" in net_cfg or "rnn" in net_cfg
         )
+        if self.use_builder:
+            obs_shape = getattr(self.env, "obs_shape", (self.num_obs,))
+            self.network = A2CNetwork(
+                obs_shape, self.num_actions, net_cfg,
+                action_dims=getattr(self.env, "action_dims", None),
+            )
+            self.seq_length = int(config.get("seq_length", 4))
+            if self.network.rnn_name and self.steps_num % self.seq_length:
+                raise ValueError("seq_length must divide steps_num")
+        else:
+            self.network = ActorCriticPPO(
+                self.num_obs, self.num_actions, net_cfg
+            )
         key = jax.random.PRNGKey(self.seed)
         key, kn = jax.random.split(key)
         self.net_params = self.network.init(kn)
@@ -106,7 +130,8 @@ class PPO:
         self.opt_state = self.opt.init(self.net_params)
         self.cur_lr = jnp.asarray(self.lr, dtype=jnp.float32)
 
-        self.obs_rms = RunningMeanStd.create((self.num_obs,)) if self.normalize_input else None
+        obs_rms_shape = tuple(getattr(self.env, "obs_shape", (self.num_obs,)))
+        self.obs_rms = RunningMeanStd.create(obs_rms_shape) if self.normalize_input else None
         self.val_rms = RunningMeanStd.create(()) if self.normalize_value else None
 
         self.env_state = self.env.reset(jax.random.PRNGKey(self.seed))
@@ -114,6 +139,10 @@ class PPO:
             ep_rew=jnp.zeros(self.num_envs),
             ep_len=jnp.zeros(self.num_envs, dtype=jnp.int32),
         )
+        if self.use_builder and self.network.rnn_name:
+            self.episode_trackers["rnn"] = self.network.initial_rnn_state(
+                (self.num_envs,)
+            )
 
         # reference `multi_gpu: True` parity (cfg/ppo/ant.yaml:45 engages
         # Horovod; here the env axis shards over a data mesh instead)
@@ -152,6 +181,9 @@ class PPO:
     # ------------------------------------------------------------------ jit
 
     def _build_jitted_fns(self):
+        if self.use_builder:
+            self._build_jitted_fns_builder()
+            return
         env = self.env
         net = self.network
         H = self.steps_num
@@ -365,6 +397,220 @@ class PPO:
 
         self._train_epoch = jax.jit(train_epoch)
 
+    def _build_jitted_fns_builder(self):
+        """Head-generic train path for A2CNetwork policies: categorical /
+        multi-categorical heads, CNN trunks, and LSTM/GRU recurrence with
+        rl_games-style sequence-chunked minibatches (a2c_common.py rnn path:
+        seq_length chunks, hidden state saved at chunk starts, zeroed on
+        done)."""
+        env = self.env
+        net = self.network
+        H = self.steps_num
+        gamma, tau = self.gamma, self.tau
+        has_rnn = bool(net.rnn_name)
+        seq = self.seq_length if has_rnn else 1
+        continuous = net.space == "continuous"
+
+        def norm_obs(obs_rms, o):
+            return obs_rms.normalize(o) if obs_rms is not None else o
+
+        def norm_val(val_rms, v, un=False):
+            return val_rms.normalize(v, un_norm=un) if val_rms is not None else v
+
+        def mask_hidden(rnn_state, done):
+            return jax.tree.map(
+                lambda h: jnp.where(done[:, None], 0.0, h), rnn_state
+            )
+
+        def play_steps(net_params, env_state, obs_rms, val_rms, trackers, key):
+            obs = lax.stop_gradient(env.batch_observations(env_state))
+            rms_frozen = obs_rms
+
+            def step_fn(carry, _):
+                env_state, obs, obs_rms, trk, key = carry
+                rnn_state = trk.get("rnn")
+                obs_n = norm_obs(rms_frozen, obs)
+                head, value, new_rnn = net.apply(net_params, obs_n, rnn_state)
+                key, k = jax.random.split(key)
+                actions = net.sample(k, head)
+                logp = net.log_prob(head, actions)
+                a_env = jnp.clip(actions, -1.0, 1.0) if continuous else actions
+
+                env_state, obs_next, rew_raw, done, info = env.step(env_state, a_env)
+                rew = rew_raw * self.rew_scale
+                if obs_rms is not None:
+                    obs_rms = obs_rms.update(obs_next)
+
+                ep_rew = trk["ep_rew"] + rew_raw
+                ep_len = trk["ep_len"] + 1
+                out = dict(
+                    obs=obs_n, actions=actions, logp=logp, head=head,
+                    value=norm_val(val_rms, value, un=True),
+                    rew=rew, done=done.astype(jnp.float32),
+                    ep_rew_done=jnp.where(done, ep_rew, 0.0),
+                    ep_len_done=jnp.where(done, ep_len, 0),
+                )
+                new_trk = dict(
+                    ep_rew=jnp.where(done, 0.0, ep_rew),
+                    ep_len=jnp.where(done, 0, ep_len),
+                )
+                if has_rnn:
+                    out["rnn"] = rnn_state  # PRE-step state, for chunk init
+                    new_trk["rnn"] = mask_hidden(new_rnn, done)
+                return (env_state, obs_next, obs_rms, new_trk, key), out
+
+            (env_state, last_obs, obs_rms, trackers, key), outs = lax.scan(
+                step_fn, (env_state, obs, obs_rms, trackers, key), None, length=H
+            )
+            _, last_value, _ = net.apply(
+                net_params, norm_obs(rms_frozen, last_obs), trackers.get("rnn")
+            )
+            last_value = norm_val(val_rms, last_value, un=True)
+            return env_state, obs_rms, trackers, key, outs, last_value
+
+        def gae(rews, dones, values, last_value):
+            def back(adv, xs):
+                rew, done, value, next_value = xs
+                nonterminal = 1.0 - done
+                delta = rew + gamma * next_value * nonterminal - value
+                adv = delta + gamma * tau * nonterminal * adv
+                return adv, adv
+
+            next_values = jnp.concatenate([values[1:], last_value[None]], axis=0)
+            _, advs = lax.scan(back, jnp.zeros_like(last_value),
+                               (rews, dones, values, next_values), reverse=True)
+            return advs
+
+        def surrogate_losses(head, value, batch):
+            logp = net.log_prob(head, batch["actions"])
+            ratio = jnp.exp(logp - batch["logp"])
+            surr1 = batch["adv"] * ratio
+            surr2 = batch["adv"] * jnp.clip(ratio, 1.0 - self.e_clip, 1.0 + self.e_clip)
+            a_loss = -jnp.minimum(surr1, surr2).mean()
+
+            if self.clip_value:
+                v_clipped = batch["value"] + jnp.clip(
+                    value - batch["value"], -self.e_clip, self.e_clip)
+                c_loss = jnp.maximum((value - batch["ret"]) ** 2,
+                                     (v_clipped - batch["ret"]) ** 2).mean()
+            else:
+                c_loss = ((value - batch["ret"]) ** 2).mean()
+
+            b_loss = 0.0
+            if continuous:
+                mu = head[0]
+                b_loss = (jnp.maximum(mu - 1.1, 0.0) ** 2
+                          + jnp.maximum(-1.1 - mu, 0.0) ** 2).sum(axis=-1).mean()
+            entropy = net.entropy(head).mean()
+            kl = net.kl(batch["head"], head)
+            loss = (a_loss + 0.5 * c_loss * self.critic_coef
+                    - self.entropy_coef * entropy
+                    + self.bounds_loss_coef * b_loss)
+            return loss, (a_loss, c_loss, entropy, kl)
+
+        def minibatch_loss(net_params, batch):
+            if not has_rnn:
+                head, value, _ = net.apply(net_params, batch["obs"])
+                return surrogate_losses(head, value, batch)
+
+            # sequence chunk: batch arrays are [mb, seq, ...]; scan over time
+            # with the stored chunk-start hidden, zeroing on done
+            def step(rnn_state, xs):
+                obs_t, done_t = xs
+                head_t, value_t, new_rnn = net.apply(net_params, obs_t, rnn_state)
+                return mask_hidden(new_rnn, done_t.astype(bool)), (head_t, value_t)
+
+            obs_t = jnp.moveaxis(batch["obs"], 1, 0)        # [seq, mb, ...]
+            done_t = jnp.moveaxis(batch["done"], 1, 0)
+            _, (head_seq, value_seq) = lax.scan(step, batch["rnn"], (obs_t, done_t))
+            head = jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), head_seq)
+            value = jnp.moveaxis(value_seq, 0, 1)
+            return surrogate_losses(head, value, batch)
+
+        def train_epoch(net_params, opt_state, cur_lr, env_state,
+                        obs_rms, val_rms, trackers, key):
+            (env_state, obs_rms, trackers, key, outs, last_value) = play_steps(
+                net_params, env_state, obs_rms, val_rms, trackers, key)
+
+            advs = gae(outs["rew"], outs["done"], outs["value"], last_value)
+            returns = advs + outs["value"]
+            if val_rms is not None:
+                val_rms = val_rms.update(returns)
+                values_n = val_rms.normalize(outs["value"])
+                returns_n = val_rms.normalize(returns)
+            else:
+                values_n, returns_n = outs["value"], returns
+            if self.normalize_advantage:
+                advs = (advs - advs.mean()) / (advs.std() + 1e-8)
+
+            E = self.num_envs
+            data = dict(obs=outs["obs"], actions=outs["actions"],
+                        logp=outs["logp"], head=outs["head"], adv=advs,
+                        ret=returns_n, value=values_n, done=outs["done"])
+            if has_rnn:
+                # [H, E, ...] -> [(H/seq)*E chunks, seq, ...]
+                def chunk(x):
+                    x = x.reshape((H // seq, seq, E) + x.shape[2:])
+                    x = jnp.moveaxis(x, 2, 1)   # [H/seq, E, seq, ...]
+                    return x.reshape((H // seq * E, seq) + x.shape[3:])
+                data = jax.tree.map(chunk, data)
+                # chunk-start hidden, same (time-chunk, env) flat order
+                data["rnn"] = jax.tree.map(
+                    lambda x: x.reshape((H // seq, seq, E) + x.shape[2:])[:, 0]
+                    .reshape((H // seq * E,) + x.shape[2:]),
+                    outs["rnn"],
+                )
+                B = H // seq * E
+                mb = max(1, self.minibatch_size // seq)
+            else:
+                data = jax.tree.map(
+                    lambda x: x.reshape((H * E,) + x.shape[2:]), data)
+                B = H * E
+                mb = self.minibatch_size
+            nmb = max(1, B // mb)
+
+            def one_minibatch(carry, idx):
+                net_params, opt_state, lr, _ = carry
+                batch = jax.tree.map(lambda x: x[idx], data)
+                (loss, (a_l, c_l, ent, kl)), grads = jax.value_and_grad(
+                    minibatch_loss, has_aux=True)(net_params, batch)
+                if self.truncate_grads:
+                    gn = optax.global_norm(grads)
+                    scale = jnp.minimum(1.0, self.grad_norm / (gn + 1e-12))
+                    grads = jax.tree.map(lambda g: g * scale, grads)
+                updates, opt_state = self.opt.update(grads, opt_state, net_params)
+                updates = jax.tree.map(lambda u: u * lr, updates)
+                net_params = optax.apply_updates(net_params, updates)
+                if self.lr_schedule == "adaptive":
+                    lr = jnp.where(kl > 2.0 * self.kl_threshold,
+                                   jnp.maximum(lr / 1.5, 1e-6), lr)
+                    lr = jnp.where(kl < 0.5 * self.kl_threshold,
+                                   jnp.minimum(lr * 1.5, 1e-2), lr)
+                return (net_params, opt_state, lr, kl), (loss, a_l, c_l, kl)
+
+            def one_epoch(carry, key_e):
+                perm = jax.random.permutation(key_e, B)
+                idxs = perm[: nmb * mb].reshape(nmb, mb)
+                return lax.scan(one_minibatch, carry, idxs)
+
+            key, k_perm = jax.random.split(key)
+            perm_keys = jax.random.split(k_perm, self.mini_epochs)
+            (net_params, opt_state, cur_lr, last_kl), stats = lax.scan(
+                one_epoch, (net_params, opt_state, cur_lr, jnp.asarray(0.0)),
+                perm_keys)
+
+            aux = dict(
+                env_state=env_state, obs_rms=obs_rms, val_rms=val_rms,
+                trackers=trackers, key=key,
+                ep_rew_done=outs["ep_rew_done"], ep_len_done=outs["ep_len_done"],
+                done=outs["done"],
+                loss=stats[0].mean(), a_loss=stats[1].mean(),
+                c_loss=stats[2].mean(), kl=last_kl,
+            )
+            return net_params, opt_state, cur_lr, aux
+
+        self._train_epoch = jax.jit(train_epoch)
+
     # ---------------------------------------------------------------- train
 
     def train(self):
@@ -442,6 +688,9 @@ class PPO:
         """Batched device-side evaluation (eval_utils.batched_eval)."""
         from .eval_utils import batched_eval
 
+        if self.use_builder:
+            return self._evaluate_builder(num_games, deterministic)
+
         def act_fn(obs, k):
             obs_n = self.obs_rms.normalize(obs) if self.obs_rms is not None else obs
             mu, sigma, _ = self.network(self.net_params, obs_n)
@@ -452,6 +701,51 @@ class PPO:
             self.env, act_fn, jax.random.PRNGKey(self.seed + 1), num_games
         )
         return mean_rew, mean_len
+
+    def _evaluate_builder(self, num_games, deterministic=True):
+        """Jitted eval rollout for A2CNetwork policies (carries RNN state,
+        handles categorical heads: greedy argmax when deterministic)."""
+        env, net = self.env, self.network
+        steps = env.episode_length
+
+        @jax.jit
+        def rollout(net_params, obs_rms, env_state, key):
+            def body(carry, _):
+                env_state, rnn, key, ep_rew, done_seen = carry
+                obs = env.batch_observations(env_state)
+                obs_n = obs_rms.normalize(obs) if obs_rms is not None else obs
+                head, _, rnn = net.apply(net_params, obs_n, rnn)
+                key, k = jax.random.split(key)
+                if net.space == "continuous":
+                    mu, sigma = head
+                    a = mu if deterministic else mu + sigma * jax.random.normal(k, mu.shape)
+                    a = jnp.clip(a, -1.0, 1.0)
+                elif deterministic:
+                    if net.space == "discrete":
+                        a = jnp.argmax(head, axis=-1)
+                    else:
+                        a = jnp.stack([jnp.argmax(lg, axis=-1) for lg in head], -1)
+                else:
+                    a = net.sample(k, head)
+                env_state, _, rew, done, _ = env.step(env_state, a)
+                ep_rew = ep_rew + rew * (1.0 - done_seen)
+                done_seen = jnp.maximum(done_seen, done.astype(jnp.float32))
+                if net.rnn_name:
+                    rnn = jax.tree.map(
+                        lambda h: jnp.where(done[:, None], 0.0, h), rnn)
+                return (env_state, rnn, key, ep_rew, done_seen), done_seen
+
+            rnn0 = net.initial_rnn_state((env.num_envs,))
+            init = (env_state, rnn0, key, jnp.zeros(env.num_envs),
+                    jnp.zeros(env.num_envs))
+            (_, _, _, ep_rew, _), done_seen = lax.scan(body, init, None, length=steps)
+            ep_len = jnp.sum(1.0 - done_seen, axis=0)
+            return ep_rew, ep_len
+
+        env_state = env.reset(jax.random.PRNGKey(self.seed + 1))
+        ep_rew, ep_len = rollout(self.net_params, self.obs_rms, env_state,
+                                 jax.random.PRNGKey(self.seed + 2))
+        return float(jnp.mean(ep_rew)), float(jnp.mean(ep_len))
 
     def run(self, num_games):
         mean_rew, mean_len = self.evaluate_policy(num_games)

@@ -29,6 +29,11 @@ class HumanoidEnv(DiffEnv):
     num_obs = 76
     num_acts = 21
 
+    # asset + per-joint motor gains; subclasses (e.g. the tiny CI variant)
+    # override these with a reduced topology and matching gain list
+    asset_file = os.path.join(_ASSETS, "humanoid.xml")
+    motor_strength_list = _MOTOR_STRENGTHS
+
     dt = 1.0 / 60.0
     sim_substeps = 48
 
@@ -56,12 +61,26 @@ class HumanoidEnv(DiffEnv):
         self.inv_start_rot = quat_conjugate(self.start_rotation)
         self.start_pos = jnp.array([0.0, self.start_height, 0.0])
         self.targets = jnp.array([200.0, 0.0, 0.0])
-        self.motor_strengths = jnp.asarray(_MOTOR_STRENGTHS, dtype=jnp.float32)
+        self.motor_strengths = jnp.asarray(
+            self.motor_strength_list, dtype=jnp.float32
+        )
+        # obs layout (observations() below): 11 torso + (nq-7) joint pos +
+        # (nqd-6) scaled joint vel + up/heading + actions; = 76/21 for the
+        # reference asset, derived so reduced-topology subclasses stay
+        # consistent
+        self.num_acts = self.model.dof_count - 6
+        self.num_obs = (
+            11 + (self.model.coord_count - 7) + (self.model.dof_count - 6)
+            + 2 + self.num_acts
+        )
+        if len(self.motor_strength_list) != self.num_acts:
+            raise ValueError("motor_strength_list must have one gain per "
+                             "actuated dof")
 
     def build_model(self):
         builder = ModelBuilder()
         parse_mjcf(
-            os.path.join(_ASSETS, "humanoid.xml"),
+            self.asset_file,
             builder,
             stiffness=5.0,
             damping=0.1,

@@ -30,6 +30,12 @@ class SNUHumanoidEnv(DiffEnv):
     dt = 1.0 / 60.0
     sim_substeps = 48
 
+    # bones kept from the full skeleton (reference builds the lower body
+    # only, snu_humanoid.py:34); subclasses may shrink this further (the
+    # tiny CI variant exercises the same muscle/ball-joint code paths on a
+    # 3-bone topology)
+    body_filter = _FILTER
+
     termination_height = 0.46
     termination_tolerance = 0.05
     height_rew_scale = 4.0
@@ -45,8 +51,6 @@ class SNUHumanoidEnv(DiffEnv):
                  stochastic_init=False, MM_caching_frequency=1,
                  early_termination=True, mtu_actuations=True, **kw):
         self.mtu_actuations = mtu_actuations
-        # obs/act sizes depend on actuation mode (snu_humanoid.py:44-59)
-        self.num_obs = 53 if mtu_actuations else 71
         super().__init__(
             num_envs=num_envs, seed=seed, episode_length=episode_length,
             stochastic_init=stochastic_init,
@@ -56,6 +60,15 @@ class SNUHumanoidEnv(DiffEnv):
         self.num_acts = (
             self.model.topology.muscle_count if mtu_actuations
             else self.model.dof_count - 6
+        )
+        # obs layout (observations() below): 11 torso + (nq-7) joint pos +
+        # (nqd-6) scaled joint vel + up/heading (+ actions in torque mode).
+        # = 53 MTU / 71 torque for the reference lower-body skeleton
+        # (snu_humanoid.py:44-59); derived from the model so reduced-topology
+        # subclasses get consistent dims
+        self.num_obs = (
+            11 + (self.model.coord_count - 7) + (self.model.dof_count - 6) + 2
+            + (0 if mtu_actuations else self.num_acts)
         )
         self.start_rotation = jnp.asarray(
             np_quat_from_axis_angle((0.0, 1.0, 0.0), math.pi * 0.5),
@@ -78,7 +91,7 @@ class SNUHumanoidEnv(DiffEnv):
             os.path.join(_ASSETS, "human.xml"),
             os.path.join(_ASSETS, "muscle284.xml") if self.mtu_actuations else None,
             builder,
-            include=_FILTER,
+            include=self.body_filter,
             gains=SnuGains(
                 joint_stiffness=5.0,
                 joint_damping=2.0,

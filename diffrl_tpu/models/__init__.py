@@ -1,3 +1,4 @@
+from .builders import A2CNetwork
 from .mlp import (
     ActorCriticPPO,
     ActorDeterministicMLP,
