@@ -206,7 +206,20 @@ class DiffEnv:
                 grad_nan_guard,
                 (env_state.joint_q, env_state.joint_qd, joint_act, muscle_act),
             )
-            q, qd = jax.vmap(sim_one)(*sim_in)
+            if self.sim_backward == "pallas":
+                # batch-level path: the whole substep chain (and its VJP)
+                # runs as one fused Pallas kernel per env tile instead of
+                # vmapped per-env XLA graphs (sim/pallas_substep.py)
+                from ..sim.articulation import simulate_batched_pallas
+
+                q, qd = simulate_batched_pallas(
+                    self.model, *sim_in,
+                    dt=self.dt,
+                    substeps=self.sim_substeps,
+                    mass_matrix_freq=self.mm_caching_frequency,
+                )
+            else:
+                q, qd = jax.vmap(sim_one)(*sim_in)
 
         progress = env_state.progress + 1
 

@@ -191,11 +191,16 @@ def eval_spatial_inertias(model: Model, body_X_sm):
     )
 
 
-def eval_ground_contacts(model: Model, body_X_sc, body_v_s):
+def eval_ground_contacts(model: Model, body_X_sc, body_v_s,
+                         static_accum: bool = False):
     """Articulated-body ground contacts (eval_rigid_contacts_art,
     sim.py:1137-1206): penalty normal + damping + smooth Coulomb friction.
 
     Returns per-link wrench accumulation [L, 6].
+
+    static_accum: resolve the contact->link gather/scatter at trace time
+    (slice + add instead of gather + segment_sum) — required inside Pallas
+    kernels (Mosaic has no scatter) and numerically identical.
     """
     topo = model.topology
     K = topo.contact_count
@@ -204,8 +209,12 @@ def eval_ground_contacts(model: Model, body_X_sc, body_v_s):
         return jnp.zeros((L, 6))
 
     c_body = np.asarray(topo.contact_body, dtype=np.int32)
-    X_s = body_X_sc[c_body]          # [K, 7]
-    v_s = body_v_s[c_body]           # [K, 6]
+    if static_accum:
+        X_s = jnp.stack([body_X_sc[int(b)] for b in c_body])
+        v_s = jnp.stack([body_v_s[int(b)] for b in c_body])
+    else:
+        X_s = body_X_sc[c_body]      # [K, 7]
+        v_s = body_v_s[c_body]       # [K, 6]
 
     n = jnp.array([0.0, 1.0, 0.0])
     ke, kd, kf, mu = (model.contact_mat[:, i] for i in range(4))
@@ -239,15 +248,21 @@ def eval_ground_contacts(model: Model, body_X_sc, body_v_s):
     t_total = jnp.cross(p, f_total)
 
     wrench = jnp.concatenate([t_total, f_total], axis=-1)  # [K, 6]
+    if static_accum:
+        out = [jnp.zeros(6)] * L
+        for k, b in enumerate(c_body):
+            out[int(b)] = out[int(b)] + wrench[k]
+        return jnp.stack(out)
     return jax.ops.segment_sum(wrench, c_body, num_segments=L)
 
 
-def eval_muscles(model: Model, body_X_sc, muscle_activation):
+def eval_muscles(model: Model, body_X_sc, muscle_activation,
+                 static_accum: bool = False):
     """MTU muscle wrenches (eval_muscles, sim.py:1209-1265).
 
     muscle_activation: [M] per-muscle force magnitude (the reference stores
     activation * muscle_strength into model.muscle_activation; here it is an
-    explicit control input).
+    explicit control input). static_accum: see eval_ground_contacts.
     """
     topo = model.topology
     L = topo.link_count
@@ -274,19 +289,34 @@ def eval_muscles(model: Model, body_X_sc, muscle_activation):
     link0 = np.asarray([links[i] for i in seg_i], dtype=np.int32)
     link1 = np.asarray([links[i + 1] for i in seg_i], dtype=np.int32)
 
-    X0 = body_X_sc[link0]
-    X1 = body_X_sc[link1]
-    r0 = model.muscle_points[seg_i]
-    r1 = model.muscle_points[seg_i + 1]
+    if static_accum:
+        X0 = jnp.stack([body_X_sc[int(b)] for b in link0])
+        X1 = jnp.stack([body_X_sc[int(b)] for b in link1])
+        act = jnp.stack([muscle_activation[int(m)] for m in seg_m])
+        r0 = jnp.stack([model.muscle_points[int(i)] for i in seg_i])
+        r1 = jnp.stack([model.muscle_points[int(i) + 1] for i in seg_i])
+    else:
+        X0 = body_X_sc[link0]
+        X1 = body_X_sc[link1]
+        act = muscle_activation[seg_m]
+        r0 = model.muscle_points[seg_i]
+        r1 = model.muscle_points[seg_i + 1]
 
     pos0 = transform_point(X0, r0)
     pos1 = transform_point(X1, r1)
     n = safe_normalize(pos1 - pos0)
-    f = n * muscle_activation[seg_m][:, None]
+    f = n * act[:, None]
 
     w0 = jnp.concatenate([jnp.cross(pos0, f), f], axis=-1)
     w1 = jnp.concatenate([jnp.cross(pos1, f), f], axis=-1)
 
+    if static_accum:
+        out = [jnp.zeros(6)] * L
+        for k in range(len(seg_i)):
+            b0, b1 = int(link0[k]), int(link1[k])
+            out[b0] = out[b0] - w0[k]
+            out[b1] = out[b1] + w1[k]
+        return jnp.stack(out)
     out = jax.ops.segment_sum(-w0, link0, num_segments=L)
     out = out + jax.ops.segment_sum(w1, link1, num_segments=L)
     return out
@@ -643,6 +673,7 @@ def articulation_substep(
     mass_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     return_aux: bool = False,
     body_f_ext=None,
+    static_accum: bool = False,
 ):
     """One dynamics substep of a single articulation.
 
@@ -650,14 +681,18 @@ def articulation_substep(
     (MM_caching_frequency semantics, sim.py:2107-2113); None recomputes.
     body_f_ext: optional external per-link wrenches [L, 6] (e.g. particle
     soft-contact coupling, sim.py:2400-2422).
+    static_accum: trace-time gather/scatter (Pallas-kernel-safe; see
+    eval_ground_contacts).
     Returns (joint_q', joint_qd', (H, L)[, aux]).
     """
     body_X_sc, body_X_sm = eval_fk(model, joint_q)
     S_s, body_v_s, body_f = eval_id(model, joint_q, joint_qd, body_X_sc, body_X_sm)
 
-    body_f = body_f + eval_ground_contacts(model, body_X_sc, body_v_s)
+    body_f = body_f + eval_ground_contacts(model, body_X_sc, body_v_s,
+                                           static_accum=static_accum)
     if muscle_act is not None:
-        body_f = body_f + eval_muscles(model, body_X_sc, muscle_act)
+        body_f = body_f + eval_muscles(model, body_X_sc, muscle_act,
+                                       static_accum=static_accum)
     if body_f_ext is not None:
         body_f = body_f + body_f_ext
 
@@ -748,6 +783,7 @@ def _simulate_manual(
     dt: float,
     substeps: int,
     mass_matrix_freq: int,
+    unroll: int = 1,
 ) -> State:
     """`simulate` with a HAND-WRITTEN reverse pass (articulations only).
 
@@ -853,6 +889,7 @@ def _simulate_manual(
                     (gq, gqd, gja, gma, jnp.zeros_like(H)),
                     (qs_b, qds_b),
                     reverse=True,
+                    unroll=min(unroll, n_inner),
                 )
             else:
                 gH = jnp.zeros_like(H)
@@ -880,6 +917,146 @@ def _simulate_manual(
     )
 
 
+def simulate_batched_pallas(
+    model: Model,
+    joint_q,
+    joint_qd,
+    joint_act=None,
+    muscle_act=None,
+    dt: float = 1.0 / 60.0,
+    substeps: int = 16,
+    mass_matrix_freq: int = 1,
+):
+    """Whole-batch `simulate` with fused Pallas substep kernels.
+
+    Same math and gradient conventions as ``simulate(backward="manual")``,
+    but each cached substep (the (mm-1)/mm majority) runs as ONE fused
+    Pallas kernel — forward and VJP — instead of ~2,600 separate XLA
+    fusions (docs/PERF_NOTES.md round-2 backward characterization). The
+    mass-matrix refresh substep stays on the XLA path (it holds the
+    factorization; 1/mm of substeps).
+
+    joint_q [E, C], joint_qd/joint_act [E, D], muscle_act [E, M] | None.
+    Articulations only (no particles). Returns (joint_q', joint_qd').
+    """
+    from .pallas_substep import TILE, substep_forward_batched, \
+        substep_vjp_batched
+
+    if substeps % mass_matrix_freq != 0:
+        raise ValueError("substeps must be a multiple of mass_matrix_freq")
+    nblocks = substeps // mass_matrix_freq
+    n_inner = mass_matrix_freq - 1
+    h = dt / float(substeps)
+
+    E = joint_q.shape[0]
+    Ep = -(-E // TILE) * TILE
+    has_m = muscle_act is not None
+    if joint_act is None:
+        joint_act = jnp.zeros((E, model.dof_count), dtype=jnp.float32)
+
+    def pad_t(x):
+        # [E, k] -> transposed + env-padded [k, Ep] (edge copies stay
+        # numerically well-behaved; padded lanes are dropped at exit)
+        xt = x.T
+        return jnp.pad(xt, ((0, 0), (0, Ep - E)), mode="edge")
+
+    q_t0 = pad_t(joint_q)
+    qd_t0 = pad_t(joint_qd)
+    ja_t0 = pad_t(joint_act)
+    # muscle activations thread through the custom_vjp as a (possibly
+    # zero-width) array; `has_m` statically selects the real path
+    ma_t0 = pad_t(muscle_act) if has_m else jnp.zeros((0, Ep), jnp.float32)
+
+    def refresh_batch(q_t, qd_t, ja, ma):
+        # XLA path for the factorizing substep, [E]-leading orientation
+        def one(q1, qd1, ja1, ma1):
+            qn, qdn, (H, Hinv) = articulation_substep(
+                model, q1, qd1, ja1, ma1 if has_m else None, h
+            )
+            return qn, qdn, H, Hinv
+
+        qn, qdn, H, Hinv = jax.vmap(one)(q_t.T, qd_t.T, ja.T, ma.T)
+        return (qn.T, qdn.T,
+                jnp.moveaxis(H, 0, -1), jnp.moveaxis(Hinv, 0, -1))
+
+    def fwd_scan(q_t, qd_t, ja, ma):
+        def block(carry, _):
+            q0, qd0 = carry
+            q1, qd1, H_t, Hinv_t = refresh_batch(q0, qd0, ja, ma)
+
+            def inner(c, _):
+                qt, qdt = c
+                qn, qdn = substep_forward_batched(
+                    model, h, qt, qdt, ja, ma if has_m else None, Hinv_t)
+                return (qn, qdn), (qt, qdt)
+
+            if n_inner > 0:
+                (qf, qdf), (qs, qds) = lax.scan(
+                    inner, (q1, qd1), None, length=n_inner)
+            else:
+                qf, qdf = q1, qd1
+                qs = jnp.zeros((0,) + q1.shape, q1.dtype)
+                qds = jnp.zeros((0,) + qd1.shape, qd1.dtype)
+            return (qf, qdf), (q0, qd0, qs, qds, H_t, Hinv_t)
+
+        return lax.scan(block, (q_t, qd_t), None, length=nblocks)
+
+    @jax.custom_vjp
+    def run(q_t, qd_t, ja, ma):
+        (qf, qdf), _ = fwd_scan(q_t, qd_t, ja, ma)
+        return qf, qdf
+
+    def run_fwd(q_t, qd_t, ja, ma):
+        (qf, qdf), saved = fwd_scan(q_t, qd_t, ja, ma)
+        return (qf, qdf), (saved, ja, ma)
+
+    def run_bwd(res, g):
+        saved, ja, ma = res
+        g_q, g_qd = g
+
+        def block_bwd(carry, xs):
+            gq, gqd, gja, gma = carry
+            q0, qd0, qs_b, qds_b, H_t, Hinv_t = xs
+
+            def inner_bwd(c, x):
+                cq, cqd, cja, cma, cH = c
+                qt, qdt = x
+                dq, dqd, dja, dma, dh = substep_vjp_batched(
+                    model, h, qt, qdt, ja, ma if has_m else None,
+                    H_t, Hinv_t, cq, cqd)
+                if has_m:
+                    cma = cma + dma
+                return (dq, dqd, cja + dja, cma, cH + dh), None
+
+            if n_inner > 0:
+                (gq, gqd, gja, gma, gH), _ = lax.scan(
+                    inner_bwd,
+                    (gq, gqd, gja, gma,
+                     jnp.zeros((model.dof_count, model.dof_count, Ep))),
+                    (qs_b, qds_b), reverse=True)
+            else:
+                gH = jnp.zeros((model.dof_count, model.dof_count, Ep))
+
+            # refresh substep cotangent via the XLA path ([E]-leading);
+            # Hinv is frozen by convention (no cotangent), H takes gH
+            def refresh_outs(q_tt, qd_tt, ja_tt, ma_tt):
+                q1, qd1, H_t2, _ = refresh_batch(q_tt, qd_tt, ja_tt, ma_tt)
+                return q1, qd1, H_t2
+
+            _, vjp = jax.vjp(refresh_outs, q0, qd0, ja, ma)
+            dq, dqd, dja, dma = vjp((gq, gqd, gH))
+            return (dq, dqd, gja + dja, gma + dma), None
+
+        zero = (g_q, g_qd, jnp.zeros_like(ja), jnp.zeros_like(ma))
+        (gq, gqd, gja, gma), _ = lax.scan(
+            block_bwd, zero, saved, reverse=True)
+        return gq, gqd, gja, gma
+
+    run.defvjp(run_fwd, run_bwd)
+    qf_t, qdf_t = run(q_t0, qd_t0, ja_t0, ma_t0)
+    return qf_t[:, :E].T, qdf_t[:, :E].T
+
+
 def simulate(
     model: Model,
     state: State,
@@ -891,6 +1068,7 @@ def simulate(
     remat: bool = True,
     remat_granularity: int = 1,
     backward: str = "remat",
+    backward_unroll: int = 1,
 ) -> State:
     """Advance one env step = `substeps` substeps of size dt/substeps.
 
@@ -918,7 +1096,7 @@ def simulate(
     if backward == "manual" and state.particle_q is None:
         return _simulate_manual(
             model, state, joint_act, muscle_act, dt, substeps,
-            mass_matrix_freq,
+            mass_matrix_freq, unroll=backward_unroll,
         )
     if substeps % mass_matrix_freq != 0:
         raise ValueError("substeps must be a multiple of mass_matrix_freq")

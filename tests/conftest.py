@@ -10,9 +10,13 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Cap CPU codegen at AVX2: this VM migrates between physical hosts, and
+# persistent-cache AOT executables specialized to a previous host's ISA
+# SIGILL on the next one (see diffrl_tpu/__init__.py).
+if "xla_cpu_max_isa" not in flags:
+    flags = (flags + " --xla_cpu_max_isa=avx2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 

@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--substeps", type=int, default=16)
     ap.add_argument("--mm", type=int, default=16)
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--modes", default="remat,manual",
+                    help="comma list of remat,manual,pallas")
     args = ap.parse_args()
 
     env = envs.make("Ant", num_envs=args.envs, seed=0, stochastic_init=True,
@@ -58,6 +60,23 @@ def main():
         jax.random.PRNGKey(1), (N, E, model.dof_count))
 
     def make_window(backward):
+        if backward == "pallas":
+            from diffrl_tpu.sim.articulation import simulate_batched_pallas
+
+            def window(q, qd, acts):
+                def step(c, a):
+                    q, qd = c
+                    q, qd = simulate_batched_pallas(
+                        model, q, qd, a, None, dt=env.dt,
+                        substeps=args.substeps, mass_matrix_freq=args.mm,
+                    )
+                    return (q, qd), None
+
+                (q, qd), _ = lax.scan(step, (q, qd), acts)
+                w = jnp.cos(jnp.arange(q.shape[-1], dtype=jnp.float32))
+                return jnp.sum(q * w) + 0.5 * jnp.sum(qd ** 2) / E
+            return window
+
         def window(q, qd, acts):
             def step(c, a):
                 q, qd = c
@@ -77,7 +96,8 @@ def main():
 
     results = {}
     grads = {}
-    for mode in ("remat", "manual"):
+    modes = tuple(args.modes.split(","))
+    for mode in modes:
         win = make_window(mode)
         fwd = jax.jit(win)
         bwd = jax.jit(jax.grad(win, argnums=(0, 1, 2)))
@@ -94,14 +114,14 @@ def main():
               f"grad-pass env-steps/s {env_steps / (t_b / 1e3):,.0f}  "
               f"first-call (trace+compile+run) {t_compile:6.1f} s")
 
-    for a, b in zip(grads["remat"], grads["manual"]):
-        err = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-12)
-        print(f"grad rel err manual vs remat: {err:.2e}")
-        assert err < 1e-3, "gradient mismatch between backward modes"
-
-    t_b_r = results["remat"][1]
-    t_b_m = results["manual"][1]
-    print(f"\nmanual speedup on grad pass: {t_b_r / t_b_m:.2f}x")
+    base = modes[0]
+    for other in modes[1:]:
+        for a, b in zip(grads[base], grads[other]):
+            err = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-12)
+            print(f"grad rel err {other} vs {base}: {err:.2e}")
+            assert err < 1e-3, "gradient mismatch between backward modes"
+        print(f"{other} speedup on grad pass vs {base}: "
+              f"{results[base][1] / results[other][1]:.2f}x")
 
 
 if __name__ == "__main__":
