@@ -22,9 +22,39 @@ perturb trajectory parity (see SURVEY.md "float32 determinism").
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# Trace-time switch for the small-matrix matvecs below. The default einsum
+# form lowers to dot_general, which XLA handles well — but inside a fused
+# Pallas substep kernel the physics is double-vmapped over the (8, 128) env
+# tile, turning every [D, D] @ [D] into a dot_general with TWO batch dims,
+# which Mosaic's tpu.matmul rejects ("Up to 1 batch dim supported"). With
+# the flag set (sim/pallas_substep.py traces kernel bodies under
+# ``matvec_sum_form()``), matvecs trace as broadcast-multiply + reduce —
+# pure VPU ops Mosaic schedules fine. D <= ~30, so no MXU is lost.
+_SUM_FORM = False
+
+
+@contextlib.contextmanager
+def matvec_sum_form():
+    global _SUM_FORM
+    prev = _SUM_FORM
+    _SUM_FORM = True
+    try:
+        yield
+    finally:
+        _SUM_FORM = prev
+
+
+def matvec_small(A, b):
+    """[..., D, D] @ [..., D] -> [..., D]; form chosen at trace time."""
+    if _SUM_FORM:
+        return jnp.sum(A * b[..., None, :], axis=-1)
+    return jnp.einsum("...ij,...j->...i", A, b)
 
 
 def chol_regularized(H, reg):
@@ -100,17 +130,17 @@ def solve_frozen_inv(H, Hinv, b):
     adj_b = Hinv g, adj_H = -(Hinv g) x^T.
     """
     del H
-    return jnp.einsum("...ij,...j->...i", Hinv, b)
+    return matvec_small(Hinv, b)
 
 
 def _solve_inv_fwd(H, Hinv, b):
-    x = jnp.einsum("...ij,...j->...i", Hinv, b)
+    x = matvec_small(Hinv, b)
     return x, (Hinv, x)
 
 
 def _solve_inv_bwd(res, g):
     Hinv, x = res
-    lam = jnp.einsum("...ij,...j->...i", Hinv, g)
+    lam = matvec_small(Hinv, g)
     adj_b = lam
     adj_H = -lam[..., :, None] * x[..., None, :]
     adj_Hinv = jnp.zeros_like(Hinv)

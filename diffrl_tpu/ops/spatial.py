@@ -127,9 +127,11 @@ def spatial_inertia_matvec(t, I_m, x):
     u = spatial_transform_twist(_tinv(t), x)
     I3 = I_m[..., 0:3, 0:3]
     m = I_m[..., 3, 3]
+    from .linalg import matvec_small
+
     y = jnp.concatenate(
         [
-            jnp.einsum("...ij,...j->...i", I3, u[..., 0:3]),
+            matvec_small(I3, u[..., 0:3]),
             m[..., None] * u[..., 3:6],
         ],
         axis=-1,

@@ -95,8 +95,13 @@ def _closure_convert(batched_fn, arg_shapes):
     """
     from jax import core as jcore
 
+    from ..ops.linalg import matvec_sum_form
+
     specs = [jax.ShapeDtypeStruct(s, jnp.float32) for s in arg_shapes]
-    closed = jax.make_jaxpr(batched_fn)(*specs)
+    # trace under sum-form matvecs: double-vmapped dot_generals would carry
+    # two batch dims, which Mosaic's tpu.matmul rejects on real hardware
+    with matvec_sum_form():
+        closed = jax.make_jaxpr(batched_fn)(*specs)
     consts = [jnp.asarray(c) for c in closed.consts]
     n_args = len(arg_shapes)
 
