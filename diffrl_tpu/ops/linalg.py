@@ -23,6 +23,7 @@ perturb trajectory parity (see SURVEY.md "float32 determinism").
 from __future__ import annotations
 
 import contextlib
+import contextvars
 
 import jax
 import jax.numpy as jnp
@@ -36,23 +37,23 @@ from jax import lax
 # the flag set (sim/pallas_substep.py traces kernel bodies under
 # ``matvec_sum_form()``), matvecs trace as broadcast-multiply + reduce —
 # pure VPU ops Mosaic schedules fine. D <= ~30, so no MXU is lost.
-_SUM_FORM = False
+_SUM_FORM = contextvars.ContextVar("matvec_sum_form", default=False)
 
 
 @contextlib.contextmanager
 def matvec_sum_form():
-    global _SUM_FORM
-    prev = _SUM_FORM
-    _SUM_FORM = True
+    # ContextVar (not a module global): thread-safe, and a concurrent trace
+    # from another thread during the with-block keeps the einsum form.
+    token = _SUM_FORM.set(True)
     try:
         yield
     finally:
-        _SUM_FORM = prev
+        _SUM_FORM.reset(token)
 
 
 def matvec_small(A, b):
     """[..., D, D] @ [..., D] -> [..., D]; form chosen at trace time."""
-    if _SUM_FORM:
+    if _SUM_FORM.get():
         return jnp.sum(A * b[..., None, :], axis=-1)
     return jnp.einsum("...ij,...j->...i", A, b)
 

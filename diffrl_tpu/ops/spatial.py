@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .linalg import matvec_small
 from .quat import quat_identity, quat_rotate, quat_to_matrix
 from .transform import transform_inverse
 
@@ -122,13 +123,9 @@ def spatial_inertia_matvec(t, I_m, x):
     tiling to [E, 8, 128] — a 21x HBM blowup that profiling showed dominating
     the substep. This form stays on [E, 3]/[E, 6] vectors.
     """
-    from .transform import transform_inverse as _tinv
-
-    u = spatial_transform_twist(_tinv(t), x)
+    u = spatial_transform_twist(transform_inverse(t), x)
     I3 = I_m[..., 0:3, 0:3]
     m = I_m[..., 3, 3]
-    from .linalg import matvec_small
-
     y = jnp.concatenate(
         [
             matvec_small(I3, u[..., 0:3]),

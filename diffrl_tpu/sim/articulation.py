@@ -225,7 +225,6 @@ def eval_ground_contacts(model: Model, body_X_sc, body_v_s,
     dpdt = v + jnp.cross(w, p)
 
     c = p[:, 1]                      # penetration depth (negative inside)
-    inside = c < 0.0
 
     vn = jnp.sum(n * dpdt, axis=-1)
     vt = dpdt - n * vn[:, None]
@@ -238,13 +237,17 @@ def eval_ground_contacts(model: Model, body_X_sc, body_v_s,
     vt_len2 = jnp.sum(vt * vt, axis=-1)
     safe = vt_len2 > 1e-12
     vt_len = jnp.sqrt(jnp.where(safe, vt_len2, 1.0))
-    dir = jnp.where(safe[:, None], vt / vt_len[:, None], 0.0)
+    # compare AFTER the [:, None] reshape: reshaping a materialized i1
+    # (bool) vector is an unsupported shape cast in Mosaic, while a float
+    # reshape + broadcasted compare lowers fine (tools/pallas_aot_check.py)
+    dir = jnp.where(vt_len2[:, None] > 1e-12, vt / vt_len[:, None], 0.0)
     mag = jnp.minimum(kf * jnp.where(safe, vt_len, 0.0), -mu * c * ke)
     ft = dir * mag[:, None]
 
     f_total = n * (fn + fd)[:, None] + ft
-    # early-return for c >= 0 clips primal and adjoint (sim.py:1179-1180)
-    f_total = jnp.where(inside[:, None], f_total, 0.0)
+    # early-return for c >= 0 clips primal and adjoint (sim.py:1179-1180);
+    # float-reshape-then-compare, not bool-reshape (Mosaic i1 cast limit)
+    f_total = jnp.where(c[:, None] < 0.0, f_total, 0.0)
     t_total = jnp.cross(p, f_total)
 
     wrench = jnp.concatenate([t_total, f_total], axis=-1)  # [K, 6]
@@ -939,8 +942,14 @@ def simulate_batched_pallas(
     joint_q [E, C], joint_qd/joint_act [E, D], muscle_act [E, M] | None.
     Articulations only (no particles). Returns (joint_q', joint_qd').
     """
-    from .pallas_substep import TILE, substep_forward_batched, \
-        substep_vjp_batched
+    from .pallas_substep import (
+        TILE,
+        prepare_substep_forward,
+        prepare_substep_vjp,
+        substep_forward_batched,
+        substep_vjp_batched,
+        tile_consts,
+    )
 
     if substeps % mass_matrix_freq != 0:
         raise ValueError("substeps must be a multiple of mass_matrix_freq")
@@ -967,6 +976,13 @@ def simulate_batched_pallas(
     # zero-width) array; `has_m` statically selects the real path
     ma_t0 = pad_t(muscle_act) if has_m else jnp.zeros((0, Ep), jnp.float32)
 
+    # hoist the kernel traces (CPU-expensive) and const tiling (must not
+    # re-materialize per substep) out of the scans below
+    C, D = model.coord_count, model.dof_count
+    M = ma_t0.shape[0] if has_m else 1
+    fwd_prep = prepare_substep_forward(model, h, C, D, M, has_m)
+    vjp_prep = prepare_substep_vjp(model, h, C, D, M, has_m)
+
     def refresh_batch(q_t, qd_t, ja, ma):
         # XLA path for the factorizing substep, [E]-leading orientation
         def one(q1, qd1, ja1, ma1):
@@ -980,6 +996,8 @@ def simulate_batched_pallas(
                 jnp.moveaxis(H, 0, -1), jnp.moveaxis(Hinv, 0, -1))
 
     def fwd_scan(q_t, qd_t, ja, ma):
+        fwd_tiled = tile_consts(fwd_prep[1], q_t)
+
         def block(carry, _):
             q0, qd0 = carry
             q1, qd1, H_t, Hinv_t = refresh_batch(q0, qd0, ja, ma)
@@ -987,7 +1005,8 @@ def simulate_batched_pallas(
             def inner(c, _):
                 qt, qdt = c
                 qn, qdn = substep_forward_batched(
-                    model, h, qt, qdt, ja, ma if has_m else None, Hinv_t)
+                    model, h, qt, qdt, ja, ma if has_m else None, Hinv_t,
+                    prep=fwd_prep, tiled_consts=fwd_tiled)
                 return (qn, qdn), (qt, qdt)
 
             if n_inner > 0:
@@ -1013,6 +1032,7 @@ def simulate_batched_pallas(
     def run_bwd(res, g):
         saved, ja, ma = res
         g_q, g_qd = g
+        vjp_tiled = tile_consts(vjp_prep[1], g_q)
 
         def block_bwd(carry, xs):
             gq, gqd, gja, gma = carry
@@ -1023,7 +1043,8 @@ def simulate_batched_pallas(
                 qt, qdt = x
                 dq, dqd, dja, dma, dh = substep_vjp_batched(
                     model, h, qt, qdt, ja, ma if has_m else None,
-                    H_t, Hinv_t, cq, cqd)
+                    H_t, Hinv_t, cq, cqd,
+                    prep=vjp_prep, tiled_consts=vjp_tiled)
                 if has_m:
                     cma = cma + dma
                 return (dq, dqd, cja + dja, cma, cH + dh), None
