@@ -48,7 +48,7 @@ def main():
     ap.add_argument("--mm", type=int, default=16)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--modes", default="remat,manual",
-                    help="comma list of remat,manual,pallas")
+                    help="comma list of remat,manual,pallas,lb")
     args = ap.parse_args()
 
     env = envs.make("Ant", num_envs=args.envs, seed=0, stochastic_init=True,
@@ -60,13 +60,18 @@ def main():
         jax.random.PRNGKey(1), (N, E, model.dof_count))
 
     def make_window(backward):
-        if backward == "pallas":
-            from diffrl_tpu.sim.articulation import simulate_batched_pallas
+        if backward in ("pallas", "lb"):
+            if backward == "pallas":
+                from diffrl_tpu.sim.articulation import (
+                    simulate_batched_pallas as sim_batched)
+            else:
+                from diffrl_tpu.sim.articulation_lb import (
+                    simulate_batched_lb as sim_batched)
 
             def window(q, qd, acts):
                 def step(c, a):
                     q, qd = c
-                    q, qd = simulate_batched_pallas(
+                    q, qd = sim_batched(
                         model, q, qd, a, None, dt=env.dt,
                         substeps=args.substeps, mass_matrix_freq=args.mm,
                     )
