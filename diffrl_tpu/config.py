@@ -27,11 +27,18 @@ no_grad = False
 check_grad = False
 verify_fp = False
 
-# Which reverse pass envs use through the simulator: "remat" (autodiff
-# through the substep scan with per-substep jax.checkpoint) or "manual"
-# (hand-written VJP, sim/articulation.py:_simulate_manual). Same gradient
-# values either way; see docs/PERF_NOTES.md for measurements.
-default_sim_backward = "remat"
+# Which reverse pass envs use through the simulator:
+# - "auto"   (default) — "lb" when the model qualifies (articulation-only,
+#              substeps divisible by mm frequency), else "remat".
+# - "lb"     — link-batched env-minor substeps with a hand-written reverse
+#              scan (sim/articulation_lb.py). Measured 3.1x the manual
+#              backward on TPU (docs/PERF_NOTES.md round 4).
+# - "remat"  — autodiff through the substep scan with per-substep
+#              jax.checkpoint (the general path; required for particles).
+# - "manual" — hand-written reverse scan over unrolled per-env substeps
+#              (sim/articulation.py:_simulate_manual).
+# Same gradient values on every path; see docs/PERF_NOTES.md.
+default_sim_backward = "auto"
 
 
 def enable_fp_verification(enable: bool = True):

@@ -104,9 +104,12 @@ class DiffEnv:
         self.early_termination = early_termination
         self.visualize = render
         self.remat_granularity = remat_granularity
-        # "remat" = autodiff through scan + per-substep jax.checkpoint;
-        # "manual" = hand-written reverse pass (sim/articulation.py
-        # _simulate_manual). None defers to the library default.
+        # "lb" = link-batched env-minor substeps with a hand-written reverse
+        # scan (sim/articulation_lb.py); "remat" = autodiff through scan +
+        # per-substep jax.checkpoint; "manual" = hand-written reverse pass
+        # over unrolled per-env substeps (sim/articulation.py
+        # _simulate_manual). None defers to the library default ("auto":
+        # pick "lb" when the model qualifies, else "remat").
         from .. import config as _config
         self.sim_backward = (
             sim_backward if sim_backward is not None
@@ -114,6 +117,14 @@ class DiffEnv:
         )
 
         self.model: Model = self.build_model()
+
+        if self.sim_backward == "auto":
+            lb_ok = (
+                self.model.particle_count == 0
+                and self.model.link_count > 0
+                and self.sim_substeps % max(self.mm_caching_frequency, 1) == 0
+            )
+            self.sim_backward = "lb" if lb_ok else "remat"
 
     # -- per-env hooks -------------------------------------------------------
 

@@ -24,3 +24,14 @@ import jax
 # config update is what actually pins the test suite to the CPU oracle
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Pin the suite's envs to the "remat" reverse pass: the production default
+# ("auto" -> the link-batched "lb" engine) is covered head-to-head by
+# tests/test_articulation_lb.py (forward + VJP equality on every joint-type
+# family, incl. whole windows), while the rest of the matrix stays on the
+# cheap-to-compile path the CPU oracle has always used. Without this pin
+# every env-building test recompiles the lb window graphs, which multiplies
+# suite wall-clock on the 1-core VM.
+import diffrl_tpu.config as _dconfig
+
+_dconfig.default_sim_backward = "remat"
