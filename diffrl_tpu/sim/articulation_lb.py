@@ -171,6 +171,33 @@ def _inertia_matvec(t, I3, m, x):
     return _wrench_xform(t, y)
 
 
+def _twist_inv_T(t, y):
+    """EXACT transpose of the linear map x -> _twist_xform(_tinv(t), x).
+
+    For unit quaternions this equals _wrench_xform(t, .), but FK quats
+    carry float32 drift and env states may hold unnormalized root quats;
+    the wrench form then deviates ~1e-3 relative, which breaks the
+    symmetry (and reference parity) of the Gram-form mass matrix. Uses
+    _qrot_inv(q, .) == _qrot(q, .)^T, an identity that holds for ANY q."""
+    qi = t[..., 3:7, :] * _QCONJ
+    p_inv = -_qrot(qi, t[..., 0:3, :])
+    yw = y[..., 0:3, :]
+    yv = y[..., 3:6, :]
+    w = _qrot_inv(qi, yw - _cross(p_inv, yv))
+    v = _qrot_inv(qi, yv)
+    return jnp.concatenate([w, v], axis=-2)
+
+
+def _inertia_gram_matvec(t, I3, m, x):
+    """y = T^T I_m T x with the EXACT transpose (see _twist_inv_T):
+    symmetric for any quat and bit-matching the reference's Gram-form
+    H assembly (articulation.eval_mass_matrix_factored: us[a] . vs[b])."""
+    u = _twist_xform(_tinv(t), x)
+    top = jnp.sum(I3 * u[..., None, 0:3, :], axis=-2)
+    y = jnp.concatenate([top, m * u[..., 3:6, :]], axis=-2)
+    return _twist_inv_T(t, y)
+
+
 def _safe_normalize(v, eps=_QEPS):
     l2 = jnp.sum(v * v, axis=-2, keepdims=True)
     safe = l2 > eps * eps
@@ -240,6 +267,10 @@ class _Plan(NamedTuple):
     dof_perm: np.ndarray
     inv_coord_perm: np.ndarray
     inv_dof_perm: np.ndarray
+    dof_row: np.ndarray                   # [D] proc row owning each chunk-dof
+    anc_pair: np.ndarray                  # [D, D] bool, chunk order:
+                                          # link(e) ancestor-or-self of link(d)
+    armature: np.ndarray                  # [D, 1] f32, chunk order
     # ground contacts (proc rows)
     contact_rows: np.ndarray
     contact_point: np.ndarray             # [K, 3, 1]
@@ -277,6 +308,7 @@ def _plan_for(model: Model) -> _Plan:
         id(model.joint_limit_upper), id(model.body_I_m),
         id(model.joint_X_pj), id(model.joint_X_cm), id(model.joint_axis),
         id(model.contact_point), id(model.muscle_points),
+        id(model.joint_armature),
     )
     hit = _PLAN_CACHE.get(key)
     if hit is not None:
@@ -363,6 +395,13 @@ def _plan_for(model: Model) -> _Plan:
         [g.qd_idx.ravel() for g in groups]
     ) if groups else np.zeros(0, np.int64)
 
+    # mass-matrix tables (chunk-dof order): owning proc row per dof, the
+    # ancestor-pair sparsity mask, and the armature permuted from canonical
+    dof_row = np.concatenate(
+        [np.repeat(np.arange(g.start, g.stop), _N_DOFS[g.jtype])
+         for g in groups]
+    ).astype(np.int64) if groups else np.zeros(0, np.int64)
+
     I_m = np.asarray(model.body_I_m, np.float32)[order_np]
     K = topo.contact_count
     has_contacts = K > 0 and bool(model.ground)
@@ -423,6 +462,10 @@ def _plan_for(model: Model) -> _Plan:
         seg_m=seg_m_np,
         seg_r0=seg_r0,
         seg_r1=seg_r1,
+        dof_row=dof_row,
+        anc_pair=anc[np.ix_(dof_row, dof_row)].astype(bool),
+        armature=np.asarray(model.joint_armature, np.float32)[
+            dof_perm].reshape(-1, 1),
     )
     _PLAN_CACHE[key] = (model, plan)
     return plan
@@ -748,6 +791,112 @@ def _integrate(plan: _Plan, q, qd, qdd, dt):
     return q_new, qd_new
 
 
+def _chol_inverse_em(A):
+    """Explicit SPD inverse, env-minor ([D, D, E]): unrolled
+    Cholesky-Banachiewicz + row-substitution inverse on [E]-lane vectors
+    (ops/linalg.py:cholesky_unrolled/chol_inverse transposed to env-minor
+    so no [E, D, D] tile-padded intermediates are materialized)."""
+    D = A.shape[0]
+    rows = [[None] * D for _ in range(D)]
+    for i in range(D):
+        for j in range(i + 1):
+            s = A[i, j]
+            for k in range(j):
+                s = s - rows[i][k] * rows[j][k]
+            if i == j:
+                rows[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+            else:
+                rows[i][j] = s / rows[j][j]
+    # invert L by forward substitution, row-vectorized over [D, E] blocks
+    inv_rows = []
+    E = A.shape[-1]
+    eye = np.eye(D, dtype=np.float32)
+    for i in range(D):
+        e = jnp.broadcast_to(jnp.asarray(eye[i])[:, None], (D, E))
+        if i:
+            prev = jnp.stack(inv_rows, axis=0)          # [i, D, E]
+            Li = jnp.stack(rows[i][:i], axis=0)         # [i, E]
+            e = e - jnp.sum(Li[:, None, :] * prev, axis=0)
+        inv_rows.append(e / rows[i][i][None, :])
+    Linv = jnp.stack(inv_rows, axis=0)                  # [D(row), D, E]
+    return jnp.einsum(
+        "kiE,kjE->ijE", Linv, Linv, precision=lax.Precision.HIGHEST)
+
+
+def _mass_matrix_em(plan: _Plan, X_sm, S_chunks):
+    """(H, Hinv) env-minor [D, D, E] in CANONICAL dof order via
+    link-batched CRBA (articulation.eval_mass_matrix_factored values;
+    reference sim.py:2475-2582 J/M/H pipeline).
+
+    I^C accumulates over subtrees with one [L, L] mask contraction; every
+    dof's force vector dots against all dofs at once with the static
+    ancestor-pair mask choosing the valid triangle. Hinv follows the
+    frozen-factor convention (stop_gradient + armature regularization,
+    articulation._factorize_mass_matrix).
+    """
+    L = X_sm.shape[0]
+    E = X_sm.shape[-1]
+    I3 = jnp.asarray(plan.I3)
+    m = jnp.asarray(plan.m)
+
+    # per-link space-frame 6x6 inertia, columns via 6 factored matvecs
+    # (gram form: exactly symmetric + reference-parity for non-unit quats)
+    basis = np.eye(6, dtype=np.float32).reshape(6, 1, 6, 1)
+    cols = [
+        _inertia_gram_matvec(X_sm, I3, m, jnp.asarray(basis[k]))  # [L, 6, E]
+        for k in range(6)
+    ]
+    I_s = jnp.stack(cols, axis=1)                       # [L, 6(col k), 6, E]
+
+    # composite (subtree-summed) inertia per link: one mask contraction
+    Ic = jnp.einsum(
+        "ij,jkrE->ikrE", jnp.asarray(plan.subtree), I_s,
+        precision=lax.Precision.HIGHEST)
+
+    # S in chunk-dof order [D, 6, E]; U_d = I^C_{link(d)} S_d
+    S_all = jnp.concatenate(
+        [S.reshape(-1, 6, E) for S in S_chunks if S.shape[1]], axis=0)
+    Icd = Ic[plan.dof_row]                              # [D, 6, 6, E]
+    U = jnp.einsum(
+        "dkE,dkrE->drE", S_all, Icd, precision=lax.Precision.HIGHEST)
+
+    # A[e, d] = S_e . U_d, valid when link(e) is ancestor-or-self of
+    # link(d); the mirrored triangle comes from A^T (I^C symmetric)
+    A = jnp.einsum(
+        "erE,drE->edE", S_all, U, precision=lax.Precision.HIGHEST)
+    anc = jnp.asarray(plan.anc_pair)[:, :, None]
+    H = jnp.where(anc, A, jnp.where(anc.transpose(1, 0, 2),
+                                    jnp.swapaxes(A, 0, 1), 0.0))
+
+    # chunk order -> canonical on both axes
+    H = H[plan.inv_dof_perm][:, plan.inv_dof_perm]
+    arm = jnp.asarray(plan.armature[plan.inv_dof_perm])  # canonical [D, 1]
+    D = H.shape[0]
+    reg = lax.stop_gradient(H) + jnp.asarray(
+        np.eye(D, dtype=np.float32))[:, :, None] * arm[:, None, :]
+    return H, _chol_inverse_em(reg)
+
+
+def refresh_substep_lb(model: Model, q, qd, joint_act, muscle_act, dt):
+    """One factorizing dynamics substep, fully link-batched env-minor:
+    same chain as substep_lb plus the CRBA mass-matrix build + unrolled
+    inverse (replacing the unrolled per-env refresh — the remaining
+    compile-time and launch-count hotspot once cached substeps went lb).
+    Returns (q', qd', H, Hinv) with H/Hinv env-minor [D, D, E]."""
+    plan = _plan_for(model)
+    X_sc, X_sm = _fk(plan, q)
+    S_chunks, v_s, body_f = _id(plan, model, q, qd, X_sc, X_sm)
+    if model.ground:
+        body_f = body_f + _contacts(plan, X_sc, v_s)
+    if muscle_act is not None and muscle_act.shape[0]:
+        body_f = body_f + _muscles(plan, X_sc, muscle_act)
+    tau = _tau(plan, q, qd, joint_act, S_chunks, body_f)
+    H, Hinv = _mass_matrix_em(plan, X_sm, S_chunks)
+    qdd = _solve_frozen_inv(H, Hinv, tau)
+    q_new, qd_new = _integrate(plan, q, qd, qdd, dt)
+    return q_new, qd_new, H, Hinv
+
+
 def substep_lb(model: Model, q, qd, joint_act, muscle_act, dt, H, Hinv):
     """One cached dynamics substep, link-batched env-minor.
 
@@ -787,16 +936,15 @@ def simulate_batched_lb(
 
     Same structure as articulation._simulate_manual (hand-written reverse
     pass: forward saves only (q, qd) per substep + (H, H^-1) per block;
-    backward replays each substep under jax.vjp) but with the cached
-    substeps running the link-batched formulation — ~10x fewer, fatter XLA
-    fusions on the launch-bound reverse path (module docstring). The
-    factorizing refresh substep stays on the unrolled vmapped path.
+    backward replays each substep under jax.vjp) with BOTH the cached and
+    the factorizing substeps running the link-batched formulation — ~10x
+    fewer, fatter XLA fusions on the launch-bound reverse path (module
+    docstring), and the CRBA refresh (_mass_matrix_em) replacing the
+    unrolled per-env mass-matrix build.
 
     joint_q [E, C], joint_qd/joint_act [E, D], muscle_act [E, M] | None.
     Articulations only. Returns (joint_q' [E, C], joint_qd' [E, D]).
     """
-    from .articulation import articulation_substep
-
     if substeps % mass_matrix_freq != 0:
         raise ValueError("substeps must be a multiple of mass_matrix_freq")
     nblocks = substeps // mass_matrix_freq
@@ -815,15 +963,8 @@ def simulate_batched_lb(
     ma_t0 = muscle_act.T if has_m else jnp.zeros((0, E), jnp.float32)
 
     def refresh_batch(q_t, qd_t, ja, ma):
-        def one(q1, qd1, ja1, ma1):
-            qn, qdn, (H, Hinv) = articulation_substep(
-                model, q1, qd1, ja1, ma1 if has_m else None, h
-            )
-            return qn, qdn, H, Hinv
-
-        qn, qdn, H, Hinv = jax.vmap(one)(q_t.T, qd_t.T, ja.T, ma.T)
-        return (qn.T, qdn.T,
-                jnp.moveaxis(H, 0, -1), jnp.moveaxis(Hinv, 0, -1))
+        return refresh_substep_lb(
+            model, q_t, qd_t, ja, ma if has_m else None, h)
 
     def cached_step(q_t, qd_t, ja, ma, H_t, Hinv_t):
         return substep_lb(

@@ -25,6 +25,17 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Disable the persistent compilation cache in the suite PROCESS: two full
+# suite runs segfaulted inside XLA:CPU 0.9.0's executable serialize /
+# deserialize (put_executable_and_time and get_executable_and_time) ~45+
+# minutes into the run, while fresh processes handle the same entries fine
+# (tests/_lb_window_check.py docstring). The cache barely helps here
+# anyway: suite wall-clock is TRACING-dominated (XLA compiles measure
+# ~2-5 s each, cache entries <= 3.4 MB), so skipping the crashy
+# serialize/deserialize path costs almost nothing. Subprocess-isolated
+# checks (fresh processes) keep the cache enabled.
+jax.config.update("jax_enable_compilation_cache", False)
+
 # Pin the suite's envs to the "remat" reverse pass: the production default
 # ("auto" -> the link-batched "lb" engine) is covered head-to-head by
 # tests/test_articulation_lb.py (forward + VJP equality on every joint-type

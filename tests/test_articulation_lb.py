@@ -145,6 +145,68 @@ def test_substep_lb_vjp_matches_unrolled(name):
             err_msg=f"{name}: {lab} mismatch")
 
 
+@pytest.mark.parametrize("name", ENVS)
+def test_refresh_substep_lb_matches_unrolled(name):
+    """Factorizing substep: the link-batched CRBA refresh
+    (refresh_substep_lb / _mass_matrix_em) == the unrolled
+    articulation_substep with mass_cache=None — state, H, Hinv, and VJP."""
+    from diffrl_tpu.sim.articulation_lb import refresh_substep_lb
+
+    E = 3
+    env = _make(name, E)
+    model = env.model
+    h = env.dt / env.sim_substeps
+    q, qd, ja, ma = _rand_batch(env, E, jax.random.PRNGKey(8))
+    has_m = ma is not None
+
+    def lb_fn(q_t, qd_t, ja_t, ma_t):
+        qn, qdn, H, Hinv = refresh_substep_lb(
+            model, q_t, qd_t, ja_t, ma_t if has_m else None, h)
+        return qn, qdn, H
+
+    def ref_fn(q_b, qd_b, ja_b, ma_b):
+        def one(q1, qd1, ja1, ma1):
+            qn, qdn, (H, Hinv) = art.articulation_substep(
+                model, q1, qd1, ja1, ma1 if has_m else None, h)
+            return qn, qdn, H
+        return jax.vmap(one)(q_b, qd_b, ja_b, ma_b)
+
+    ma_in = ma.T if has_m else jnp.zeros((0, E))
+    ma_ref = ma if has_m else jnp.zeros((E, 0))
+    out_lb = jax.jit(lb_fn)(q.T, qd.T, ja.T, ma_in)
+    out_ref = jax.jit(ref_fn)(q, qd, ja, ma_ref)
+    for lab, a, b, (rt, at) in [
+        ("q", out_lb[0].T, out_ref[0], (2e-5, 1e-6)),
+        ("qd", out_lb[1].T, out_ref[1], (2e-5, 2e-5)),
+        ("H", jnp.moveaxis(out_lb[2], -1, 0), out_ref[2], (2e-5, 1e-4)),
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=rt, atol=at,
+            err_msg=f"{name}: refresh {lab} mismatch")
+
+    # VJP: cotangents on (q', qd', H) -> grads on every input
+    kc = jax.random.split(jax.random.PRNGKey(9), 3)
+    gq = jax.random.normal(kc[0], q.shape)
+    gqd = jax.random.normal(kc[1], qd.shape)
+    gH = 0.01 * jax.random.normal(
+        kc[2], (E, model.dof_count, model.dof_count))
+
+    _, vjp_lb = jax.vjp(lb_fn, q.T, qd.T, ja.T, ma_in)
+    d_lb = vjp_lb((gq.T, gqd.T, jnp.moveaxis(gH, 0, -1)))
+    _, vjp_ref = jax.vjp(ref_fn, q, qd, ja, ma_ref)
+    d_ref = vjp_ref((gq, gqd, gH))
+    # tolerance note: H matches to f32 round-off (~1e-8 relative), but the
+    # frozen-inverse solve amplifies constant-rounding differences between
+    # the CRBA and pairwise H assemblies through Hinv*tau (verified in f64:
+    # the residual tracks the primal qd' difference, not the VJP structure)
+    for lab, a, b in zip(["dq", "dqd", "dja", "dma"], d_lb, d_ref):
+        if lab == "dma" and not has_m:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b.T), rtol=2e-3, atol=1e-3,
+            err_msg=f"{name}: refresh vjp {lab} mismatch")
+
+
 @pytest.mark.parametrize("name", ["CartPoleSwingUp", "Ant"])
 def test_simulate_batched_lb_matches_manual(name):
     """Full env-step window: lb whole-batch simulate == simulate(manual),
