@@ -366,10 +366,19 @@ class SHAC:
             """critic_iterations x num_batch minibatch MSE steps, with a
             fresh random permutation of the (H*E) dataset each iteration
             (matching the reference's shuffled CriticDataset,
-            utils/dataset.py:11-36)."""
+            utils/dataset.py:11-36).
+
+            Layout (measured, tools/bench_critic.py on the v5e): obs and
+            target are concatenated once and the WHOLE dataset is shuffled
+            once per iteration; minibatches are then contiguous dynamic
+            slices. Identical batches to gathering each minibatch from the
+            permutation (params match to f32 round-off), but 0.59 ms/step
+            vs 0.84 — per-minibatch random gathers dominated this
+            launch-bound loop."""
             n = obs_flat.shape[0]
             bs = self.batch_size
             nb = (n - 1) // bs + 1
+            data = jnp.concatenate([obs_flat, target_flat[:, None]], axis=1)
 
             def mse(params, o, t, w):
                 v = self.critic(params, o)[..., 0]
@@ -377,16 +386,22 @@ class SHAC:
 
             def one_iter(carry, it_key):
                 params, opt_state = carry
-                perm = jax.random.permutation(it_key, n)
+                shuffled = data[jax.random.permutation(it_key, n)]
+                if nb * bs > n:
+                    # pad with copies of the final row, weighted 0 below —
+                    # same rows the old clamped-index gather produced
+                    shuffled = jnp.concatenate(
+                        [shuffled,
+                         jnp.broadcast_to(shuffled[-1:],
+                                          (nb * bs - n, shuffled.shape[1]))],
+                        axis=0)
 
                 def one_batch(carry, b):
                     params, opt_state, total = carry
                     start = b * bs
-                    idx = start + jnp.arange(bs)
-                    w = (idx < n).astype(jnp.float32)
-                    idx = perm[jnp.minimum(idx, n - 1)]
-                    o = obs_flat[idx]
-                    t = target_flat[idx]
+                    w = (start + jnp.arange(bs) < n).astype(jnp.float32)
+                    d = lax.dynamic_slice_in_dim(shuffled, start, bs)
+                    o, t = d[:, :-1], d[:, -1]
                     loss, grads = jax.value_and_grad(mse)(params, o, t, w)
                     grads = jax.tree.map(lambda g: jnp.nan_to_num(g, 0.0, 0.0, 0.0), grads)
                     if self.truncate_grad:
