@@ -621,8 +621,15 @@ class PPO:
         tr.add_timer("algorithm")
         tr.start_timer("algorithm")
 
+        # Pipelined epoch loop (same design + measurements as SHAC.train):
+        # dispatch epoch k+1 BEFORE blocking on epoch k's stats so the
+        # tunnel RTT + stats transfer + host bookkeeping overlap the next
+        # epoch's device compute. Also folds cur_lr into the one batched
+        # stats fetch — float(self.cur_lr) in the log call was paying an
+        # extra device sync per epoch.
+        pending = None
+        self._t_last_epoch = time.time()
         for epoch in range(self.max_epochs):
-            t0 = time.time()
             self.key, k = jax.random.split(self.key)
             (self.net_params, self.opt_state, self.cur_lr, aux) = self._train_epoch(
                 self.net_params, self.opt_state, self.cur_lr, self.env_state,
@@ -632,55 +639,75 @@ class PPO:
             self.obs_rms = aux["obs_rms"]
             self.val_rms = aux["val_rms"]
             self.episode_trackers = aux["trackers"]
-            self.iter_count += 1
-            self.step_count += self.steps_num * self.num_envs
 
-            # one batched device->host transfer of ONLY the stats the host
-            # reads (aux also carries env_state/rms/trackers — megabytes at
-            # 4096 envs that the loop never touches)
-            aux = jax.device_get(
-                {k: aux[k] for k in ("done", "ep_rew_done", "ep_len_done",
-                                     "loss", "a_loss", "c_loss", "kl")}
-            )
-            done_np = np.asarray(aux["done"]).reshape(-1).astype(bool)
-            if done_np.any():
-                ep_rews = np.asarray(aux["ep_rew_done"]).reshape(-1)[done_np]
-                ep_lens = np.asarray(aux["ep_len_done"]).reshape(-1)[done_np]
-                self.episode_rew_meter.update(ep_rews)
-                self.episode_length_meter.update(ep_lens)
-
-            mean_rew = self.episode_rew_meter.get_mean()
-            mean_len = self.episode_length_meter.get_mean()
-            fps = self.steps_num * self.num_envs / (time.time() - t0)
-
-            if mean_rew > self.best_rew and self.episode_rew_meter.current_size > 0:
-                self.best_rew = mean_rew
-                self._best_snapshot = self._snapshot()
-                now = time.time()
-                if now - self._last_best_write > 60.0:
-                    self.save(snapshot=self._best_snapshot)
-                    self._last_best_write = now
-
-            self._log_scalars(
-                rewards=mean_rew, episode_lengths=mean_len,
-                loss=float(aux["loss"]), a_loss=float(aux["a_loss"]),
-                c_loss=float(aux["c_loss"]), kl=float(aux["kl"]),
-                lr=float(self.cur_lr), fps=fps,
-            )
-            if self.iter_count % 10 == 0 or self.iter_count == 1:
-                print(
-                    f"iter {self.iter_count}: rew {mean_rew:.2f}, "
-                    f"ep len {mean_len:.1f}, fps {fps:.0f}, kl {float(aux['kl']):.4f}, "
-                    f"lr {float(self.cur_lr):.2e}"
-                )
-            if self.save_interval > 0 and self.iter_count % self.save_interval == 0:
-                self.save(f"{self.name}_iter{self.iter_count}")
+            # ONLY the stats the host reads (aux also carries env_state/
+            # rms/trackers — megabytes at 4096 envs the loop never touches)
+            stats = {k: aux[k] for k in ("done", "ep_rew_done", "ep_len_done",
+                                         "loss", "a_loss", "c_loss", "kl")}
+            stats["cur_lr"] = self.cur_lr
+            snap = {
+                "net": self.net_params,
+                "obs_rms": self.obs_rms,
+                "val_rms": self.val_rms,
+                "opt_state": self.opt_state,
+                "cur_lr": self.cur_lr,
+            }
+            if pending is not None:
+                self._process_epoch_stats(*pending)
+            pending = (stats, snap)
+        if pending is not None:
+            self._process_epoch_stats(*pending)
 
         tr.end_timer("algorithm")
         tr.report()
         if self._best_snapshot is not None:
             self.save("best_policy", snapshot=self._best_snapshot)
         self.save("final_policy")
+
+    def _process_epoch_stats(self, stats, snap):
+        """Host-side half of one epoch (runs while the next epoch's compute
+        is in flight): one batched stats fetch, meters, best-policy
+        snapshot, logging."""
+        aux = jax.device_get(stats)
+        self.iter_count += 1
+        self.step_count += self.steps_num * self.num_envs
+        done_np = np.asarray(aux["done"]).reshape(-1).astype(bool)
+        if done_np.any():
+            ep_rews = np.asarray(aux["ep_rew_done"]).reshape(-1)[done_np]
+            ep_lens = np.asarray(aux["ep_len_done"]).reshape(-1)[done_np]
+            self.episode_rew_meter.update(ep_rews)
+            self.episode_length_meter.update(ep_lens)
+
+        mean_rew = self.episode_rew_meter.get_mean()
+        mean_len = self.episode_length_meter.get_mean()
+        now = time.time()
+        fps = self.steps_num * self.num_envs / (now - self._t_last_epoch)
+        self._t_last_epoch = now
+
+        if mean_rew > self.best_rew and self.episode_rew_meter.current_size > 0:
+            self.best_rew = mean_rew
+            self._best_snapshot = dict(
+                snap, iter_count=self.iter_count, step_count=self.step_count)
+            now = time.time()
+            if now - self._last_best_write > 60.0:
+                self.save(snapshot=self._best_snapshot)
+                self._last_best_write = now
+
+        cur_lr = float(aux["cur_lr"])
+        self._log_scalars(
+            rewards=mean_rew, episode_lengths=mean_len,
+            loss=float(aux["loss"]), a_loss=float(aux["a_loss"]),
+            c_loss=float(aux["c_loss"]), kl=float(aux["kl"]),
+            lr=cur_lr, fps=fps,
+        )
+        if self.iter_count % 10 == 0 or self.iter_count == 1:
+            print(
+                f"iter {self.iter_count}: rew {mean_rew:.2f}, "
+                f"ep len {mean_len:.1f}, fps {fps:.0f}, kl {float(aux['kl']):.4f}, "
+                f"lr {cur_lr:.2e}"
+            )
+        if self.save_interval > 0 and self.iter_count % self.save_interval == 0:
+            self.save(f"{self.name}_iter{self.iter_count}")
 
     # ----------------------------------------------------------- evaluation
 

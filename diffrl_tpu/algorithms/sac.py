@@ -302,8 +302,13 @@ class SAC:
         tr.add_timer("algorithm")
         tr.start_timer("algorithm")
 
+        # Pipelined epoch loop (same design + measurements as SHAC.train):
+        # dispatch epoch k+1 BEFORE blocking on epoch k's stats so the
+        # tunnel RTT + stats transfer + host bookkeeping overlap the next
+        # epoch's device compute.
+        pending = None
+        self._t_last_epoch = time.time()
         for epoch in range(self.max_epochs):
-            t0 = time.time()
             self.key, k = jax.random.split(self.key)
             fn = self._train_epoch_seed if epoch < self.num_seed_steps else self._train_epoch
             (learner, self.env_state, self.buffer, self.episode_trackers, _), outs = fn(
@@ -311,48 +316,66 @@ class SAC:
                 self.episode_trackers, k,
             )
             self._set_learner_tuple(learner)
-            self.iter_count += 1
-            self.step_count += self.steps_per_epoch * self.num_envs
-
-            # one batched device->host transfer (each sync pays tunnel RTT)
-            outs = jax.device_get(outs)
-            done_np = np.asarray(outs["done"]).reshape(-1).astype(bool)
-            if done_np.any():
-                ep_rews = np.asarray(outs["ep_rew_done"]).reshape(-1)[done_np]
-                ep_lens = np.asarray(outs["ep_len_done"]).reshape(-1)[done_np]
-                self.episode_rew_meter.update(ep_rews)
-                self.episode_length_meter.update(ep_lens)
-
-            mean_rew = self.episode_rew_meter.get_mean()
-            mean_len = self.episode_length_meter.get_mean()
-            fps = self.steps_per_epoch * self.num_envs / (time.time() - t0)
-
-            if mean_rew > self.best_rew and self.episode_rew_meter.current_size > 0:
-                self.best_rew = mean_rew
-                self._best_snapshot = self._snapshot()
-                now = time.time()
-                if now - self._last_best_write > 60.0:
-                    self.save(snapshot=self._best_snapshot)
-                    self._last_best_write = now
-
-            self._log_scalars(
-                rewards=mean_rew, episode_lengths=mean_len,
-                c_loss=float(outs["c_loss"][-1]), a_loss=float(outs["a_loss"][-1]),
-                alpha=float(outs["alpha"][-1]), fps=fps,
-            )
-            if self.iter_count % 10 == 0 or self.iter_count == 1:
-                print(
-                    f"iter {self.iter_count}: rew {mean_rew:.2f}, ep len "
-                    f"{mean_len:.1f}, fps {fps:.0f}, alpha {float(outs['alpha'][-1]):.3f}"
-                )
-            if self.save_interval > 0 and self.iter_count % self.save_interval == 0:
-                self.save(f"{self.name}_iter{self.iter_count}")
+            snap = {
+                "actor": self.actor_params,
+                "critic": self.critic_params,
+                "target_critic": self.target_critic_params,
+                "log_alpha": self.log_alpha,
+                "obs_rms": self.obs_rms,
+            }
+            if pending is not None:
+                self._process_epoch_stats(*pending)
+            pending = (outs, snap)
+        if pending is not None:
+            self._process_epoch_stats(*pending)
 
         tr.end_timer("algorithm")
         tr.report()
         if self._best_snapshot is not None:
             self.save("best_policy", snapshot=self._best_snapshot)
         self.save("final_policy")
+
+    def _process_epoch_stats(self, outs, snap):
+        """Host-side half of one epoch (runs while the next epoch's compute
+        is in flight): one batched stats fetch, meters, best-policy
+        snapshot, logging."""
+        outs = jax.device_get(outs)
+        self.iter_count += 1
+        self.step_count += self.steps_per_epoch * self.num_envs
+        done_np = np.asarray(outs["done"]).reshape(-1).astype(bool)
+        if done_np.any():
+            ep_rews = np.asarray(outs["ep_rew_done"]).reshape(-1)[done_np]
+            ep_lens = np.asarray(outs["ep_len_done"]).reshape(-1)[done_np]
+            self.episode_rew_meter.update(ep_rews)
+            self.episode_length_meter.update(ep_lens)
+
+        mean_rew = self.episode_rew_meter.get_mean()
+        mean_len = self.episode_length_meter.get_mean()
+        now = time.time()
+        fps = self.steps_per_epoch * self.num_envs / (now - self._t_last_epoch)
+        self._t_last_epoch = now
+
+        if mean_rew > self.best_rew and self.episode_rew_meter.current_size > 0:
+            self.best_rew = mean_rew
+            self._best_snapshot = dict(
+                snap, iter_count=self.iter_count, step_count=self.step_count)
+            now = time.time()
+            if now - self._last_best_write > 60.0:
+                self.save(snapshot=self._best_snapshot)
+                self._last_best_write = now
+
+        self._log_scalars(
+            rewards=mean_rew, episode_lengths=mean_len,
+            c_loss=float(outs["c_loss"][-1]), a_loss=float(outs["a_loss"][-1]),
+            alpha=float(outs["alpha"][-1]), fps=fps,
+        )
+        if self.iter_count % 10 == 0 or self.iter_count == 1:
+            print(
+                f"iter {self.iter_count}: rew {mean_rew:.2f}, ep len "
+                f"{mean_len:.1f}, fps {fps:.0f}, alpha {float(outs['alpha'][-1]):.3f}"
+            )
+        if self.save_interval > 0 and self.iter_count % self.save_interval == 0:
+            self.save(f"{self.name}_iter{self.iter_count}")
 
     # ----------------------------------------------------------- evaluation
 
