@@ -54,6 +54,26 @@ def _params_changed(before, after):
     return max(float(d) for d in diffs) > 0.0
 
 
+def test_shac_critic_update_uneven_batches():
+    """The critic minibatcher pads the shuffled dataset when batch_size does
+    not divide H*E (shac.py critic_update): padded rows carry weight 0, so
+    the result must stay finite and step the params."""
+    shac = SHAC(_base_cfg({"critic_method": "td-lambda", "obs_rms": True,
+                           "critic_iterations": 2, "num_batch": 2,
+                           "num_actors": 3, "steps_num": 3}))
+    n = shac.num_envs * shac.steps_num
+    assert ((n - 1) // shac.batch_size + 1) * shac.batch_size > n  # pad path
+    obs = jax.random.normal(jax.random.PRNGKey(0), (n, shac.num_obs))
+    tgt = jax.random.normal(jax.random.PRNGKey(1), (n,))
+    params, _, loss = shac._critic_update(
+        shac.critic_params, shac.critic_opt_state, obs, tgt,
+        jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree.leaves(params):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert _params_changed(shac.critic_params, params)
+
+
 def test_shac_two_epochs():
     shac = SHAC(_base_cfg({"critic_method": "td-lambda", "obs_rms": True,
                            "critic_iterations": 2, "num_batch": 2}))
