@@ -707,7 +707,11 @@ class PPO:
                 f"lr {cur_lr:.2e}"
             )
         if self.save_interval > 0 and self.iter_count % self.save_interval == 0:
-            self.save(f"{self.name}_iter{self.iter_count}")
+            # carried epoch-k snapshot: self.net_params already belong to the
+            # in-flight epoch k+1 under the pipelined loop
+            self.save(f"{self.name}_iter{self.iter_count}",
+                      snapshot=dict(snap, iter_count=self.iter_count,
+                                    step_count=self.step_count))
 
     # ----------------------------------------------------------- evaluation
 

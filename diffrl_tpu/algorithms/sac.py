@@ -375,7 +375,11 @@ class SAC:
                 f"{mean_len:.1f}, fps {fps:.0f}, alpha {float(outs['alpha'][-1]):.3f}"
             )
         if self.save_interval > 0 and self.iter_count % self.save_interval == 0:
-            self.save(f"{self.name}_iter{self.iter_count}")
+            # carried epoch-k snapshot: self.*_params already belong to the
+            # in-flight epoch k+1 under the pipelined loop
+            self.save(f"{self.name}_iter{self.iter_count}",
+                      snapshot=dict(snap, iter_count=self.iter_count,
+                                    step_count=self.step_count))
 
     # ----------------------------------------------------------- evaluation
 

@@ -495,7 +495,6 @@ class SHAC:
         pending = None
         self._t_last_epoch = time.time()
         for epoch in range(self.max_epochs):
-            tr.start_timer("actor training")
             self.key, k = jax.random.split(self.key)
             (self.actor_params, self.actor_opt_state, self.critic_params,
              self.critic_opt_state, self.target_critic_params,
@@ -506,7 +505,6 @@ class SHAC:
                 self.env_state, self.obs_rms, self.ret_rms,
                 self.episode_trackers, k,
             )
-            tr.end_timer("actor training")
             # post-epoch param handles for a potential best-policy snapshot
             # (jnp arrays are immutable — holding references is free)
             snap = {
@@ -569,6 +567,9 @@ class SHAC:
         now = time.time()
         epoch_time = now - self._t_last_epoch
         self._t_last_epoch = now
+        # per-epoch wall-clock (dispatch + device compute + host half, all
+        # pipelined) — timing only the async dispatch would be meaningless
+        self.time_report.add_time("actor training", epoch_time)
         fps = self.steps_num * self.num_envs / epoch_time
         if len(self.episode_loss_his) > 0:
             mean_policy_loss = self.episode_loss_meter.get_mean()
@@ -613,8 +614,13 @@ class SHAC:
         )
 
         if self.save_interval > 0 and self.iter_count % self.save_interval == 0:
+            # use the carried epoch-k snapshot: under the pipelined loop,
+            # self.*_params already belong to the in-flight epoch k+1 (and
+            # fetching them here would block on it)
             self.save(
-                f"{self.name}policy_iter{self.iter_count}_reward{-mean_policy_loss:.3f}"
+                f"{self.name}policy_iter{self.iter_count}_reward{-mean_policy_loss:.3f}",
+                snapshot=dict(snap, iter_count=self.iter_count,
+                              step_count=self.step_count),
             )
 
     # ----------------------------------------------------------- evaluation

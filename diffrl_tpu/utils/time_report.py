@@ -42,6 +42,12 @@ class TimeReport:
     def end_timer(self, name):
         self.timers[name].off()
 
+    def add_time(self, name, seconds):
+        """Accumulate an externally-measured duration (used by pipelined
+        epoch loops where start/stop pairs around the async dispatch would
+        only time the dispatch, not the epoch)."""
+        self.timers[name].time_total += seconds
+
     def report(self, name=None):
         if name is not None:
             self.timers[name].report()

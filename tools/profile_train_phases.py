@@ -59,15 +59,23 @@ def main():
 
     tr._train_epoch = timed("dispatch", tr._train_epoch)
     tr._log_scalars = timed("log_scalars", tr._log_scalars)
-    shac_mod.jax.device_get = timed("device_get", jax.device_get)
-    shac_mod.print = timed("print", builtins.print)
-    shac_mod.np.asarray = timed("np_asarray", shac_mod.np.asarray)
+    # NOTE: shac_mod.np/jax ARE the shared numpy/jax modules — patching
+    # their attributes is global. Save the originals and restore in a
+    # finally block (a bare `del` would REMOVE np.asarray from numpy).
+    orig_device_get = jax.device_get
+    orig_asarray = shac_mod.np.asarray
+    shac_mod.jax.device_get = timed("device_get", orig_device_get)
+    shac_mod.print = timed("print", builtins.print)  # module-level shadow
+    shac_mod.np.asarray = timed("np_asarray", orig_asarray)
 
     t0 = time.perf_counter()
-    tr.train()
-    total = time.perf_counter() - t0
-    shac_mod.jax.device_get = jax.device_get
-    del shac_mod.print, shac_mod.np.asarray
+    try:
+        tr.train()
+    finally:
+        total = time.perf_counter() - t0
+        shac_mod.jax.device_get = orig_device_get
+        shac_mod.np.asarray = orig_asarray
+        del shac_mod.print  # removes the shadow; builtins.print unaffected
 
     n = args.epochs
     print(f"\n=== per-epoch phase breakdown ({n} epochs, {total/n*1e3:.1f} ms/epoch) ===")
