@@ -229,10 +229,12 @@ class DiffEnv:
                     substeps=self.sim_substeps,
                     mass_matrix_freq=self.mm_caching_frequency,
                 )
-            elif self.sim_backward == "lb":
+            elif self.sim_backward in ("lb", "lb_ad"):
                 # batch-level link-batched env-minor path: ~10x fewer XLA
                 # fusions per substep VJP on the launch-bound reverse pass
-                # (sim/articulation_lb.py)
+                # (sim/articulation_lb.py). "lb" replays substeps in the
+                # hand-written reverse scan; "lb_ad" lets XLA save residuals
+                # instead (more HBM, no recompute pass).
                 from ..sim.articulation_lb import simulate_batched_lb
 
                 q, qd = simulate_batched_lb(
@@ -240,6 +242,8 @@ class DiffEnv:
                     dt=self.dt,
                     substeps=self.sim_substeps,
                     mass_matrix_freq=self.mm_caching_frequency,
+                    reverse="residual" if self.sim_backward == "lb_ad"
+                    else "replay",
                 )
             else:
                 q, qd = jax.vmap(sim_one)(*sim_in)

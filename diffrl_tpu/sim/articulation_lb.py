@@ -931,6 +931,7 @@ def simulate_batched_lb(
     dt: float = 1.0 / 60.0,
     substeps: int = 16,
     mass_matrix_freq: int = 1,
+    reverse: str = "replay",
 ):
     """Whole-batch `simulate` on the link-batched env-minor substep.
 
@@ -944,6 +945,20 @@ def simulate_batched_lb(
 
     joint_q [E, C], joint_qd/joint_act [E, D], muscle_act [E, M] | None.
     Articulations only. Returns (joint_q' [E, C], joint_qd' [E, D]).
+
+    reverse:
+      "replay"   — hand-written reverse scan; forward saves only (q, qd)
+                   per substep + (H, H^-1) per block, backward replays each
+                   substep under jax.vjp. Backward cost ~= recompute (1x
+                   fwd) + transpose (~2x fwd). Minimal memory.
+      "residual" — plain XLA autodiff through the substep scans: the
+                   forward-of-grad saves each substep's intermediates as
+                   residuals (all env-minor [k, E] rows — mild (8, 128)
+                   padding, unlike the unrolled engine whose residual
+                   traffic motivated the replay design), and the backward
+                   reads them instead of replaying. Trades HBM for the
+                   recompute pass. Memory grows with substeps x window
+                   length; prefer for short windows / small models.
     """
     if substeps % mass_matrix_freq != 0:
         raise ValueError("substeps must be a multiple of mass_matrix_freq")
@@ -990,6 +1005,25 @@ def simulate_batched_lb(
             return (qf, qdf), (q0, qd0, qs, qds, H_t, Hinv_t)
 
         return lax.scan(block, (q_t, qd_t), None, length=nblocks)
+
+    if reverse == "residual":
+        # plain differentiable scan (no replay bookkeeping outputs): XLA's
+        # autodiff saves each substep's env-minor intermediates as scan
+        # residuals and the transpose reads them back
+        def block_res(carry, _):
+            q0, qd0 = carry
+            q1, qd1, H_t, Hinv_t = refresh_batch(q0, qd0, ja_t0, ma_t0)
+
+            def inner(c, _):
+                qt, qdt = c
+                return cached_step(qt, qdt, ja_t0, ma_t0, H_t, Hinv_t), None
+
+            (qf, qdf), _ = lax.scan(inner, (q1, qd1), None, length=n_inner)
+            return (qf, qdf), None
+
+        (qf_t, qdf_t), _ = lax.scan(
+            block_res, (q_t0, qd_t0), None, length=nblocks)
+        return qf_t.T, qdf_t.T
 
     @jax.custom_vjp
     def run(q_t, qd_t, ja, ma):

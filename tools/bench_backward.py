@@ -60,13 +60,17 @@ def main():
         jax.random.PRNGKey(1), (N, E, model.dof_count))
 
     def make_window(backward):
-        if backward in ("pallas", "lb"):
+        if backward in ("pallas", "lb", "lb_ad"):
             if backward == "pallas":
                 from diffrl_tpu.sim.articulation import (
                     simulate_batched_pallas as sim_batched)
             else:
                 from diffrl_tpu.sim.articulation_lb import (
-                    simulate_batched_lb as sim_batched)
+                    simulate_batched_lb as _lb)
+                from functools import partial
+                sim_batched = partial(
+                    _lb, reverse="residual" if backward == "lb_ad"
+                    else "replay")
 
             def window(q, qd, acts):
                 def step(c, a):
