@@ -956,9 +956,14 @@ def simulate_batched_lb(
                    residuals (all env-minor [k, E] rows — mild (8, 128)
                    padding, unlike the unrolled engine whose residual
                    traffic motivated the replay design), and the backward
-                   reads them instead of replaying. Trades HBM for the
-                   recompute pass. Memory grows with substeps x window
-                   length; prefer for short windows / small models.
+                   reads them instead of replaying.
+
+    Measured (v5e, 8-step Ant window, 4096 envs, mm_freq 16 —
+    docs/PERF_NOTES.md round 5): "residual" runs the grad pass at 0.40x
+    "replay" (176 vs 70 ms) — even env-minor, the residual HBM round-trip
+    costs far more than replaying the substep inside the fused reverse
+    kernel. Keep "replay" unless measuring; it is at the replay bound
+    (backward-only ~2.5x forward).
     """
     if substeps % mass_matrix_freq != 0:
         raise ValueError("substeps must be a multiple of mass_matrix_freq")
