@@ -30,6 +30,16 @@ PANELS = [
     ("shac_cartpole_seed42.npz", "CartPoleSwingUp (neg. loss)", "rewards"),
 ]
 
+# BASELINE-scale runs (1024-4096 envs, lb backward + pipelined loop)
+PANELS_SCALE = [
+    ("ant4096_r4_pipelined_shac_seed0.npz", "Ant 4096 envs (401k steps/s)",
+     "rewards"),
+    ("humanoid1024_r5_lb_shac_seed0.npz",
+     "Humanoid 1024 envs (35k steps/s)", "rewards"),
+    ("snu1024_r5_lb_shac_seed0.npz",
+     "SNU Humanoid 1024 envs (20k steps/s)", "rewards"),
+]
+
 SURFACE = "#fcfcfb"
 INK = "#0b0b0b"
 INK2 = "#52514e"
@@ -40,9 +50,12 @@ GRID = "#e6e5e2"
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(RESULTS, "training_curves.png"))
+    ap.add_argument("--scale", action="store_true",
+                    help="plot the BASELINE-scale panel set instead")
     args = ap.parse_args()
 
-    panels = [(f, t, k) for f, t, k in PANELS
+    src = PANELS_SCALE if args.scale else PANELS
+    panels = [(f, t, k) for f, t, k in src
               if os.path.exists(os.path.join(RESULTS, f))]
     n = len(panels)
     ncols = 3
@@ -87,7 +100,9 @@ def main():
         ax.set_visible(False)
 
     fig.suptitle(
-        "SHAC training reward — diffrl_tpu, one TPU chip, reference paper configs",
+        "SHAC training reward — diffrl_tpu, one TPU chip, "
+        + ("BASELINE-scale configs" if args.scale
+           else "reference paper configs"),
         fontsize=13, color=INK, x=0.01, ha="left",
     )
     fig.tight_layout(rect=(0, 0, 1, 0.95))
