@@ -97,17 +97,22 @@ def main(name: str) -> None:
             err_msg=f"{name}: window grad {lab} mismatch")
 
     # residual-saving reverse (reverse="residual" / sim_backward="lb_ad"):
-    # plain XLA autodiff through the lb scan must match the replay VJP
-    def run_lb_ad(q, qd, ja):
-        return simulate_batched_lb(
-            model, q, qd, ja, ma, dt=env.dt,
-            substeps=substeps, mass_matrix_freq=mm, reverse="residual")
+    # plain XLA autodiff through the lb scan must match the replay VJP.
+    # CartPole only: the residual-mode window grad has a much larger jaxpr
+    # (every substep's intermediates become scan residuals) and the Ant
+    # variant alone adds >10 min of 1-core CPU compile to the suite; the
+    # mode is topology-independent, so the small scene covers it.
+    if name == "CartPoleSwingUp":
+        def run_lb_ad(q, qd, ja):
+            return simulate_batched_lb(
+                model, q, qd, ja, ma, dt=env.dt,
+                substeps=substeps, mass_matrix_freq=mm, reverse="residual")
 
-    g_ad = jax.jit(jax.grad(loss(run_lb_ad), argnums=(0, 1, 2)))(q, qd, ja)
-    for lab, a, b in zip(["dq", "dqd", "dja"], g_ad, g_lb):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
-            err_msg=f"{name}: lb_ad window grad {lab} mismatch")
+        g_ad = jax.jit(jax.grad(loss(run_lb_ad), argnums=(0, 1, 2)))(q, qd, ja)
+        for lab, a, b in zip(["dq", "dqd", "dja"], g_ad, g_lb):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+                err_msg=f"{name}: lb_ad window grad {lab} mismatch")
     print(f"LB_WINDOW_CHECK_PASS {name}")
 
 
