@@ -225,6 +225,106 @@ class Mesh:
         self.I = I
 
 
+def _np_dist_point_tris(pts: np.ndarray, va, vb, vc) -> np.ndarray:
+    """Unsigned distance from points [n, 3] to triangles ([T, 3] each) -> [n, T].
+
+    Candidate-minimum form: min over the three edge segments, replaced by the
+    plane distance where the plane projection lands inside the triangle.
+    """
+    n, T = pts.shape[0], va.shape[0]
+    p = pts[:, None, :]  # [n, 1, 3]
+
+    def seg_d2(s0, s1):
+        d = s1 - s0  # [T, 3]
+        dd = np.maximum(np.einsum("tk,tk->t", d, d), 1e-18)
+        t = np.clip(np.einsum("ntk,tk->nt", p - s0, d) / dd, 0.0, 1.0)
+        diff = p - (s0 + t[..., None] * d)
+        return np.einsum("ntk,ntk->nt", diff, diff)
+
+    d2 = np.minimum(seg_d2(va, vb), np.minimum(seg_d2(vb, vc), seg_d2(vc, va)))
+
+    nrm = np.cross(vb - va, vc - va)  # [T, 3]
+    nn = np.maximum(np.einsum("tk,tk->t", nrm, nrm), 1e-18)
+    h = np.einsum("ntk,tk->nt", p - va, nrm) / np.sqrt(nn)  # signed plane height
+    q = p - h[..., None] * (nrm / np.sqrt(nn)[:, None])     # plane projection
+    # barycentric sign tests of the projection
+    s0 = np.einsum("ntk,tk->nt", np.cross(vb - va, q - va), nrm)
+    s1 = np.einsum("ntk,tk->nt", np.cross(vc - vb, q - vb), nrm)
+    s2 = np.einsum("ntk,tk->nt", np.cross(va - vc, q - vc), nrm)
+    inside = (s0 >= 0.0) & (s1 >= 0.0) & (s2 >= 0.0)
+    d2 = np.where(inside, np.minimum(d2, h * h), d2)
+    return np.sqrt(d2)
+
+
+def _np_winding(pts: np.ndarray, va, vb, vc) -> np.ndarray:
+    """Generalized winding number of points [n, 3] w.r.t. a triangle soup
+    (van Oosterom-Strackee solid angles summed over triangles) -> [n].
+    ~1 inside a watertight mesh, ~0 outside."""
+    a = va[None] - pts[:, None, :]
+    b = vb[None] - pts[:, None, :]
+    c = vc[None] - pts[:, None, :]
+    la = np.linalg.norm(a, axis=-1)
+    lb = np.linalg.norm(b, axis=-1)
+    lc = np.linalg.norm(c, axis=-1)
+    num = np.einsum("ntk,ntk->nt", a, np.cross(b, c))
+    den = (
+        la * lb * lc
+        + np.einsum("ntk,ntk->nt", a, b) * lc
+        + np.einsum("ntk,ntk->nt", b, c) * la
+        + np.einsum("ntk,ntk->nt", c, a) * lb
+    )
+    omega = 2.0 * np.arctan2(num, den)
+    return np.sum(omega, axis=-1) / (4.0 * np.pi)
+
+
+def bake_mesh_sdf(vertices, indices, resolution: int = 24, pad_frac: float = 0.2):
+    """Bake a triangle mesh into a dense voxel SDF grid (host-side, numpy).
+
+    Beyond-reference capability: dflex carries GEO_MESH shapes through its
+    model (model.py:497, 956) but its contact kernel only evaluates
+    sphere/box/capsule SDFs (sim.py:931-948) — mesh shapes never generate
+    soft contacts there. Here every mesh shape is voxelized once at
+    ``finalize()`` into a [R, R, R] signed-distance grid that the TPU kernel
+    samples with trilinear interpolation (particles.py:mesh_sdf) — a gather +
+    lerp, fully batched over shapes x particles.
+
+    Sign comes from the generalized winding number (robust for watertight
+    meshes); distance from exact point-triangle distance. Returns
+    (grid [R, R, R] f32, lower [3] f32, spacing [3] f32) with grid[i, j, k]
+    sampled at lower + (i, j, k) * spacing. The grid is padded by
+    ``pad_frac`` of the bbox diagonal so boundary values stay positive.
+    """
+    verts = np.asarray(vertices, dtype=np.float64).reshape(-1, 3)
+    tris = np.asarray(indices, dtype=np.int64).reshape(-1, 3)
+    va, vb, vc = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+
+    lo = verts.min(axis=0)
+    hi = verts.max(axis=0)
+    pad = pad_frac * float(np.linalg.norm(hi - lo))
+    lower = lo - pad
+    spacing = (hi - lo + 2.0 * pad) / (resolution - 1)
+
+    ax = [lower[d] + spacing[d] * np.arange(resolution) for d in range(3)]
+    gx, gy, gz = np.meshgrid(ax[0], ax[1], ax[2], indexing="ij")
+    pts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+
+    # chunk over grid points to bound the [n, T] intermediates
+    chunk = max(1, int(2_000_000 // max(len(tris), 1)))
+    dist = np.empty(pts.shape[0])
+    wind = np.empty(pts.shape[0])
+    for s in range(0, pts.shape[0], chunk):
+        sl = slice(s, s + chunk)
+        dist[sl] = _np_dist_point_tris(pts[sl], va, vb, vc).min(axis=1)
+        wind[sl] = _np_winding(pts[sl], va, vb, vc)
+
+    sdf = np.where(wind > 0.5, -dist, dist).reshape(resolution, resolution, resolution)
+    return (
+        sdf.astype(np.float32),
+        lower.astype(np.float32),
+        spacing.astype(np.float32),
+    )
+
+
 @dataclass(frozen=True)
 class Topology:
     """Static articulation structure (hashable; lives in pytree aux data)."""
@@ -359,8 +459,16 @@ class Model:
     contact_kf: float = static_field(default=100.0)
     contact_mu: float = static_field(default=0.5)
 
-    # all-pairs cloth self-collision (enable_tri_collisions, sim.py:2266)
-    enable_tri_collisions: bool = static_field(default=False)
+    # cloth self-collision (enable_tri_collisions, sim.py:2266):
+    # False off; True all-pairs like the reference; "hashed" spatial-hash
+    # broad-phase (particles.py:eval_triangles_contact_hashed)
+    enable_tri_collisions: object = static_field(default=False)
+    # spatial-hash knobs for the "hashed" variant: correctness needs
+    # cell_size >= contact radius (0.1) + max triangle centroid-to-vertex
+    # distance; capacity is per-bucket (overflow beyond it is dropped)
+    tri_collision_cell_size: float = static_field(default=0.2)
+    tri_collision_buckets: int = static_field(default=1024)
+    tri_collision_capacity: int = static_field(default=8)
     # XPBD constraint relaxation (model.relaxation, sim.py:2983)
     relaxation: float = static_field(default=1.0)
     # XPBD spring compliance alpha = 1/(ke dt^2) in the constraint
@@ -377,6 +485,12 @@ class Model:
     shape_geo_type: Optional[jnp.ndarray] = None   # [G] int
     shape_geo_scale: Optional[jnp.ndarray] = None  # [G, 3]
     shape_materials: Optional[jnp.ndarray] = None  # [G, 4]
+
+    # baked voxel SDFs for GEO_MESH shapes (bake_mesh_sdf); -1 = no grid
+    shape_sdf_id: Optional[jnp.ndarray] = None     # [G] int
+    sdf_grid: Optional[jnp.ndarray] = None         # [M, R, R, R]
+    sdf_lower: Optional[jnp.ndarray] = None        # [M, 3]
+    sdf_spacing: Optional[jnp.ndarray] = None      # [M, 3]
 
     @property
     def link_count(self):
@@ -433,6 +547,8 @@ class ModelBuilder:
         self.shape_geo_scale: List = []
         self.shape_geo_src: List = []
         self.shape_materials: List = []
+        # voxel-SDF bake resolution for GEO_MESH soft contacts (bake_mesh_sdf)
+        self.sdf_resolution: int = 24
 
         # springs
         self.spring_indices: List = []
@@ -962,6 +1078,21 @@ class ModelBuilder:
 
         L = len(self.joint_type)
 
+        # bake a voxel SDF per GEO_MESH shape (scale applied to vertices)
+        sdf_id = np.full(len(self.shape_geo_type), -1, dtype=np.int32)
+        sdf_grids, sdf_lowers, sdf_spacings = [], [], []
+        for i, gt in enumerate(self.shape_geo_type):
+            src = self.shape_geo_src[i]
+            if gt == GEO_MESH and src is not None:
+                sc = np.asarray(self.shape_geo_scale[i], dtype=np.float64)
+                g, glo, gsp = bake_mesh_sdf(
+                    src.vertices * sc, src.indices, resolution=self.sdf_resolution
+                )
+                sdf_id[i] = len(sdf_grids)
+                sdf_grids.append(g)
+                sdf_lowers.append(glo)
+                sdf_spacings.append(gsp)
+
         return Model(
             topology=topo,
             joint_X_pj=arr(np.stack(self.joint_X_pj) if L else np.zeros((0, 7))),
@@ -1007,4 +1138,8 @@ class ModelBuilder:
             shape_geo_type=opt(self.shape_geo_type, (-1,), np.int32),
             shape_geo_scale=opt(self.shape_geo_scale, (-1, 3)),
             shape_materials=opt(self.shape_materials, (-1, 4)),
+            shape_sdf_id=opt(sdf_id, (-1,), np.int32),
+            sdf_grid=(jnp.asarray(np.stack(sdf_grids)) if sdf_grids else None),
+            sdf_lower=(jnp.asarray(np.stack(sdf_lowers)) if sdf_lowers else None),
+            sdf_spacing=(jnp.asarray(np.stack(sdf_spacings)) if sdf_spacings else None),
         )

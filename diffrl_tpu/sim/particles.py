@@ -241,6 +241,99 @@ def eval_triangles_contact(model, x, v):
     return out
 
 
+def _hash_cells(cells, num_buckets):
+    """FNV-style spatial hash of integer cell coords [..., 3] -> [...]."""
+    h = (
+        (cells[..., 0] * 73856093)
+        ^ (cells[..., 1] * 19349663)
+        ^ (cells[..., 2] * 83492791)
+    )
+    return jnp.mod(h, num_buckets)  # floor-mod: non-negative for B > 0
+
+
+def eval_triangles_contact_hashed(model, x, v):
+    """Spatial-hash broad-phase cloth self-collision.
+
+    Beyond-reference: dflex ships only the O(T*P) all-pairs kernel
+    (eval_triangles_contact, sim.py:376-433). This variant bins particles
+    into a fixed-capacity hash table and tests each triangle only against
+    the 27 cells around its centroid: O(T * 27 * capacity) pair tests.
+
+    TPU-first design — every shape is static so XLA compiles one fused
+    program: the table is [buckets, capacity] built with a sort + one
+    scatter (bucket overflow past ``capacity`` is dropped; size it with
+    headroom), candidates are a [T, 27*capacity] gather with a sentinel
+    row, and hash-colliding duplicate cells are masked so no pair is
+    counted twice. Exact (matches all-pairs) whenever
+    ``tri_collision_cell_size >= 0.1 + max centroid-to-vertex distance``
+    and no bucket overflows; enforced by tests/test_particles.py.
+    """
+    P = x.shape[0]
+    T = model.tri_indices.shape[0]
+    B = model.tri_collision_buckets
+    C = model.tri_collision_capacity
+    inv_h = 1.0 / model.tri_collision_cell_size
+
+    i = model.tri_indices[:, 0]
+    j = model.tri_indices[:, 1]
+    k = model.tri_indices[:, 2]
+
+    # --- build the particle hash table [B, C] (sentinel = P) ---
+    cells = jnp.floor(x * inv_h).astype(jnp.int32)           # [P, 3]
+    hp = _hash_cells(cells, B)                               # [P]
+    order = jnp.argsort(hp)
+    hs = hp[order]
+    slot = jnp.arange(P) - jnp.searchsorted(hs, hs, side="left")
+    table = jnp.full((B, C), P, dtype=jnp.int32)
+    table = table.at[hs, slot].set(order.astype(jnp.int32), mode="drop")
+
+    # --- candidates: 27 neighbor cells of each triangle centroid ---
+    cen = (x[i] + x[j] + x[k]) / 3.0
+    tcell = jnp.floor(cen * inv_h).astype(jnp.int32)         # [T, 3]
+    d = jnp.arange(-1, 2)
+    offs = jnp.stack(jnp.meshgrid(d, d, d, indexing="ij"), axis=-1).reshape(27, 3)
+    nh = _hash_cells(tcell[:, None, :] + offs[None], B)      # [T, 27]
+    # mask neighbor cells whose hash collides with an earlier neighbor
+    eq = nh[:, :, None] == nh[:, None, :]                    # eq[t, a, b]
+    earlier = jnp.tril(jnp.ones((27, 27), bool), k=-1)       # b < a
+    dup = jnp.any(eq & earlier[None], axis=-1)               # [T, 27]
+    cand = jnp.where(dup[..., None], P, table[nh])           # [T, 27, C]
+    cand = cand.reshape(T, 27 * C)
+
+    xpad = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)], axis=0)
+    pos = xpad[cand]                                         # [T, K, 3]
+
+    # --- same penalty force as the all-pairs kernel on the candidate set ---
+    p = x[i][:, None, :]
+    q = x[j][:, None, :]
+    r = x[k][:, None, :]
+    bary = triangle_closest_point_barycentric(p, q, r, pos)
+    closest = p * bary[..., 0:1] + q * bary[..., 1:2] + r * bary[..., 2:3]
+
+    diff = pos - closest
+    dist = jnp.sum(diff * diff, axis=-1)
+    n = safe_normalize(diff)
+    c = jnp.minimum(dist - 0.01, 0.0)
+
+    own = (i[:, None] == cand) | (j[:, None] == cand) | (k[:, None] == cand)
+    c = jnp.where(own | (cand >= P), 0.0, c)
+
+    fn = n * c[..., None] * 1e5                              # [T, K, 3]
+
+    f_particle = -jax.ops.segment_sum(
+        fn.reshape(-1, 3), cand.reshape(-1), num_segments=P + 1
+    )[:P]
+    f_i = jnp.sum(fn * bary[..., 0:1], axis=1)
+    f_j = jnp.sum(fn * bary[..., 1:2], axis=1)
+    f_k = jnp.sum(fn * bary[..., 2:3], axis=1)
+
+    out = f_particle
+    out = out + _scatter(f_i, i, P)
+    out = out + _scatter(f_j, j, P)
+    out = out + _scatter(f_k, k, P)
+    return out
+
+
 def eval_triangles_rigid_contacts(
     model, x, v, rigid_x, rigid_r, rigid_v, rigid_w,
     contact_body, contact_point, contact_dist, contact_mat,
@@ -472,8 +565,15 @@ def eval_ground_contacts(model, x, v):
 # shape SDFs + particle-vs-rigid soft contacts
 
 
+def _safe_len(x):
+    """|x| with zero (not NaN) gradient at x == 0: all shape SDF branches are
+    evaluated for every shape and combined with jnp.where, and sqrt's reverse
+    rule at 0 turns the masked-out branch's cotangent into 0 * inf = NaN."""
+    return jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=-1), 1e-24))
+
+
 def sphere_sdf(radius, p):
-    return jnp.linalg.norm(p, axis=-1) - radius
+    return _safe_len(p) - radius
 
 
 def sphere_sdf_grad(radius, p):
@@ -484,7 +584,7 @@ def box_sdf(upper, p):
     """(box_sdf, sim.py:819-829); `upper` = half extents."""
     q = jnp.abs(p) - upper
     e = jnp.maximum(q, 0.0)
-    return jnp.linalg.norm(e, axis=-1) + jnp.minimum(jnp.max(q, axis=-1), 0.0)
+    return _safe_len(e) + jnp.minimum(jnp.max(q, axis=-1), 0.0)
 
 
 def box_sdf_grad(upper, p):
@@ -508,11 +608,55 @@ def box_sdf_grad(upper, p):
     return jnp.where(outside[..., None], g_out, g_in)
 
 
+def mesh_sdf(grid, lower, inv_spacing, p):
+    """Trilinear sample of a baked voxel SDF (model.py:bake_mesh_sdf).
+
+    Beyond-reference: dflex's soft-contact kernel only evaluates
+    sphere/box/capsule SDFs (sim.py:931-948); mesh shapes there never
+    contact. Here a mesh shape's baked [R, R, R] grid is sampled with one
+    8-corner gather + lerp per query — batched over shapes x particles, so
+    XLA lowers the whole mesh-contact test to a handful of fused gathers.
+
+    grid [R, R, R]; lower/inv_spacing [3]; p [..., 3] in the shape's local
+    frame. Queries outside the grid clamp to the (positive, padded) boundary.
+    """
+    R = grid.shape[0]
+    u = jnp.clip((p - lower) * inv_spacing, 0.0, R - 1 - 1e-4)
+    i0 = jnp.floor(u).astype(jnp.int32)
+    f = u - i0.astype(u.dtype)
+    i1 = jnp.minimum(i0 + 1, R - 1)
+
+    ix0, iy0, iz0 = i0[..., 0], i0[..., 1], i0[..., 2]
+    ix1, iy1, iz1 = i1[..., 0], i1[..., 1], i1[..., 2]
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+
+    c00 = grid[ix0, iy0, iz0] * (1 - fx) + grid[ix1, iy0, iz0] * fx
+    c10 = grid[ix0, iy1, iz0] * (1 - fx) + grid[ix1, iy1, iz0] * fx
+    c01 = grid[ix0, iy0, iz1] * (1 - fx) + grid[ix1, iy0, iz1] * fx
+    c11 = grid[ix0, iy1, iz1] * (1 - fx) + grid[ix1, iy1, iz1] * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
+
+
+def mesh_sdf_grad(grid, lower, inv_spacing, p):
+    """Outward normal of a baked voxel SDF: central differences of the
+    trilinear field at half-cell offsets, normalized."""
+    h = 0.5 / inv_spacing  # [3] half spacing
+    ex = jnp.array([1.0, 0.0, 0.0], dtype=p.dtype) * h[0]
+    ey = jnp.array([0.0, 1.0, 0.0], dtype=p.dtype) * h[1]
+    ez = jnp.array([0.0, 0.0, 1.0], dtype=p.dtype) * h[2]
+    gx = mesh_sdf(grid, lower, inv_spacing, p + ex) - mesh_sdf(grid, lower, inv_spacing, p - ex)
+    gy = mesh_sdf(grid, lower, inv_spacing, p + ey) - mesh_sdf(grid, lower, inv_spacing, p - ey)
+    gz = mesh_sdf(grid, lower, inv_spacing, p + ez) - mesh_sdf(grid, lower, inv_spacing, p - ez)
+    return safe_normalize(jnp.stack([gx, gy, gz], axis=-1))
+
+
 def capsule_sdf(radius, half_width, p):
     """x-aligned capsule (capsule_sdf, sim.py:851-859)."""
     px = jnp.clip(p[..., 0], -half_width, half_width)
     d = p - jnp.stack([px, jnp.zeros_like(px), jnp.zeros_like(px)], axis=-1)
-    return jnp.linalg.norm(d, axis=-1) - radius
+    return _safe_len(d) - radius
 
 
 def capsule_sdf_grad(radius, half_width, p):
@@ -576,6 +720,21 @@ def eval_soft_contacts(model, x, v, body_X_sc=None, body_v_s=None):
         jnp.where((geo == 1)[..., None], g_box, g_capsule),
     )
     active_shape = (geo <= 2)
+
+    # GEO_MESH=3 via baked voxel SDFs (beyond the reference, whose kernel
+    # skips mesh shapes — sim.py:931-948); static no-op when no mesh shapes
+    if model.sdf_grid is not None and model.shape_sdf_id is not None:
+        sid = jnp.maximum(model.shape_sdf_id, 0)           # [G]
+        g_grid = model.sdf_grid[sid]                       # [G, R, R, R]
+        g_lower = model.sdf_lower[sid]                     # [G, 3]
+        g_invsp = 1.0 / model.sdf_spacing[sid]             # [G, 3]
+        c_m = jax.vmap(mesh_sdf)(g_grid, g_lower, g_invsp, x_local)
+        g_m = jax.vmap(mesh_sdf_grad)(g_grid, g_lower, g_invsp, x_local)
+        is_mesh = (geo == 3) & (model.shape_sdf_id >= 0)[:, None]
+        c_raw = jnp.where(is_mesh, c_m, c_raw)
+        g_raw = jnp.where(is_mesh[..., None], g_m, g_raw)
+        active_shape = active_shape | is_mesh
+
     c = jnp.where(active_shape, jnp.minimum(c_raw - margin, 0.0), 0.0)
 
     # rotate SDF gradient to world space
@@ -629,7 +788,9 @@ def particle_forces(model, x, v):
         f = f + eval_springs(model, x, v)
     if model.tri_indices is not None and model.tri_ke > 0.0:
         f = f + eval_triangles(model, x, v)
-        if model.enable_tri_collisions:
+        if model.enable_tri_collisions == "hashed":
+            f = f + eval_triangles_contact_hashed(model, x, v)
+        elif model.enable_tri_collisions:
             f = f + eval_triangles_contact(model, x, v)
     if model.edge_indices is not None:
         f = f + eval_bending(model, x, v)
