@@ -1078,12 +1078,16 @@ class ModelBuilder:
 
         L = len(self.joint_type)
 
-        # bake a voxel SDF per GEO_MESH shape (scale applied to vertices)
+        # bake a voxel SDF per GEO_MESH shape (scale applied to vertices).
+        # Soft contacts are particle-vs-shape, so only scenes with particles
+        # pay the bake — a mesh-collider robot with no deformables imports
+        # as fast as before (and its mesh shapes skip contact evaluation,
+        # which is also the reference's behavior, sim.py:931-948).
         sdf_id = np.full(len(self.shape_geo_type), -1, dtype=np.int32)
         sdf_grids, sdf_lowers, sdf_spacings = [], [], []
         for i, gt in enumerate(self.shape_geo_type):
             src = self.shape_geo_src[i]
-            if gt == GEO_MESH and src is not None:
+            if gt == GEO_MESH and src is not None and len(self.particle_q):
                 sc = np.asarray(self.shape_geo_scale[i], dtype=np.float64)
                 g, glo, gsp = bake_mesh_sdf(
                     src.vertices * sc, src.indices, resolution=self.sdf_resolution
